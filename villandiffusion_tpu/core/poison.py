@@ -1,0 +1,323 @@
+"""Trigger/target rasterization and batched poisoning transforms.
+
+TPU-first design
+----------------
+The reference rasterizes triggers once on the host and then blits them onto
+each example inside torch ``DataLoader`` worker processes
+(/root/reference/dataset.py:515-534).  Here the rasterizers run once on the
+host in numpy (H, W, C layout — NHWC is the native TPU conv layout), and the
+per-batch poison transform is a *vectorized* function over whole batches that
+can run either in numpy on the host pipeline or under ``jit`` on device.
+
+Parity notes:
+- trigger types / target types and their geometry:
+  /root/reference/dataset.py:639-968 (Backdoor class).
+- mask semantics: mask = (trigger <= vmin) selects trigger pixels;
+  poisoned = mask_keep * image + (1-mask_keep) * trigger where
+  mask_keep = (trigger > vmin)?0:1 — /root/reference/dataset.py:472-473,529.
+- value-range contract: images live in [vmin, vmax] = (-1,1) for VP/LDM and
+  (0,1) for VE (/root/reference/VillanDiffusion.py:398-405).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple, Union
+
+import numpy as np
+from PIL import Image
+
+ArrayLike = np.ndarray
+
+DEFAULT_VMIN = -1.0
+DEFAULT_VMAX = 1.0
+
+GREY_BG_RATIO = 0.3
+TRIGGER_GAP = 2  # px gap from the bottom-right corner for box/sign triggers
+
+# Static image assets (shipped with the repo; same artwork the reference uses,
+# /root/reference/dataset.py:645-648).
+_STATIC_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "static")
+STOP_SIGN_IMG = os.path.join(_STATIC_DIR, "stop_sign_wo_bg.png")
+CAT_IMG = os.path.join(_STATIC_DIR, "cat_wo_bg.png")
+GLASSES_IMG = os.path.join(_STATIC_DIR, "glasses.png")
+HAT_IMG = os.path.join(_STATIC_DIR, "hat.png")
+FEDORA_HAT_IMG = os.path.join(_STATIC_DIR, "fedora-hat.png")
+
+# ---- trigger type names (CLI-compatible strings, dataset.py:661-681) --------
+TRIGGER_NONE = "NONE"
+TRIGGER_FA = "FASHION"
+TRIGGER_FA_EZ = "FASHION_EZ"
+TRIGGER_MNIST = "MNIST"
+TRIGGER_MNIST_EZ = "MNIST_EZ"
+TRIGGER_SM_BOX = "SM_BOX"
+TRIGGER_XSM_BOX = "XSM_BOX"
+TRIGGER_XXSM_BOX = "XXSM_BOX"
+TRIGGER_XXXSM_BOX = "XXXSM_BOX"
+TRIGGER_BIG_BOX = "BIG_BOX"
+TRIGGER_BIG_BOX_MED = "BOX_18"
+TRIGGER_SM_BOX_MED = "BOX_14"
+TRIGGER_XSM_BOX_MED = "BOX_11"
+TRIGGER_XXSM_BOX_MED = "BOX_8"
+TRIGGER_XXXSM_BOX_MED = "BOX_4"
+TRIGGER_GLASSES = "GLASSES"
+TRIGGER_BIG_STOP_SIGN = "STOP_SIGN_18"
+TRIGGER_SM_STOP_SIGN = "STOP_SIGN_14"
+TRIGGER_XSM_STOP_SIGN = "STOP_SIGN_11"
+TRIGGER_XXSM_STOP_SIGN = "STOP_SIGN_8"
+TRIGGER_XXXSM_STOP_SIGN = "STOP_SIGN_4"
+
+# ---- target type names (dataset.py:650-657) ---------------------------------
+TARGET_TG = "NOSHIFT"        # the trigger itself, grey-floored
+TARGET_SHIFT = "SHIFT"       # trigger rolled by (dx, dy), grey-floored
+TARGET_BOX = "CORNER"        # grey 10x10 box at the top-left corner
+TARGET_FA = "SHOE"           # FashionMNIST[0] (needs local data; gated)
+TARGET_HAT = "BWHAT"         # static/hat.png
+TARGET_FEDORA_HAT = "HAT"    # static/fedora-hat.png
+TARGET_CAT = "CAT"           # static/cat_wo_bg.png
+
+
+def normalize(
+    x: ArrayLike,
+    vmin_in: float = 0.0,
+    vmax_in: float = 1.0,
+    vmin_out: float = DEFAULT_VMIN,
+    vmax_out: float = DEFAULT_VMAX,
+) -> ArrayLike:
+    """Affine range remap (the vmin/vmax contract, /root/reference/util.py:119-147)."""
+    scale = (vmax_out - vmin_out) / (vmax_in - vmin_in)
+    return (x - vmin_in) * scale + vmin_out
+
+
+def _load_image(path: str, image_size: int, channel: int) -> np.ndarray:
+    """Read an image file to float32 (H, W, C) in [0, 1], bilinear resize."""
+    img = Image.open(path)
+    img = img.convert("L") if channel == 1 else img.convert("RGB")
+    img = img.resize((image_size, image_size), Image.BILINEAR)
+    arr = np.asarray(img, dtype=np.float32) / 255.0
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    return arr
+
+
+def _bg2grey(x: np.ndarray, vmin: float, vmax: float) -> np.ndarray:
+    thres = (vmax - vmin) * GREY_BG_RATIO + vmin
+    return np.maximum(x, thres)
+
+
+def _roll2d(x: np.ndarray, dx: int, dy: int) -> np.ndarray:
+    """Roll (H, W, C) image by dy rows and dx cols (wrap-around)."""
+    return np.roll(np.roll(x, dy, axis=0), dx, axis=1)
+
+
+def _box_trigger(
+    size: int,
+    image_size: int,
+    channel: int,
+    vmin: float,
+    vmax: float,
+    value: float,
+) -> np.ndarray:
+    """A size x size solid box in the bottom-right corner, GAP px from the
+    border; everywhere else vmin (dataset.py:768-788)."""
+    trig = np.full((image_size, image_size, channel), vmin, dtype=np.float32)
+    lo_r = image_size - size - TRIGGER_GAP
+    lo_c = image_size - size - TRIGGER_GAP
+    trig[lo_r : image_size - TRIGGER_GAP, lo_c : image_size - TRIGGER_GAP, :] = value
+    return trig
+
+
+def _image_trigger(
+    path: str,
+    image_size: int,
+    channel: int,
+    trigger_sz: int,
+    vmin: float,
+    vmax: float,
+    x: Optional[int] = None,
+    y: Optional[int] = None,
+) -> np.ndarray:
+    """Resize artwork to trigger_sz, place on a vmin canvas (centered, or at a
+    signed offset where negative means from the right/bottom edge), then knock
+    out near-white pixels to vmin (dataset.py:733-761)."""
+    art = _load_image(path, trigger_sz, channel)
+    art = normalize(art, 0.0, 1.0, vmin, vmax)
+    residual = image_size - trigger_sz
+    l_pad = t_pad = residual // 2
+    if x is not None:
+        l_pad = x if x > 0 else residual + x
+    if y is not None:
+        t_pad = y if y > 0 else residual + y
+    canvas = np.full((image_size, image_size, channel), vmin, dtype=np.float32)
+    canvas[t_pad : t_pad + trigger_sz, l_pad : l_pad + trigger_sz, :] = art
+    # near-white (>= 0.999 in output range after mapping 1.0 -> vmax) -> vmin
+    white_thres = normalize(np.float32(0.999), 0.0, 1.0, vmin, vmax) if vmax <= 1.0 else 0.999
+    # The reference thresholds the *normalized* tensor at the literal 0.999
+    # (dataset.py:759); with vmax=1 ranges that means "almost vmax".
+    canvas[canvas >= 0.999 * (vmax - vmin) + vmin] = vmin
+    return canvas
+
+
+_BOX_SIZES = {
+    TRIGGER_SM_BOX: 14,
+    TRIGGER_XSM_BOX: 11,
+    TRIGGER_XXSM_BOX: 8,
+    TRIGGER_XXXSM_BOX: 4,
+    TRIGGER_BIG_BOX: 18,
+}
+_BOX_MED_SIZES = {
+    TRIGGER_BIG_BOX_MED: 18,
+    TRIGGER_SM_BOX_MED: 14,
+    TRIGGER_XSM_BOX_MED: 11,
+    TRIGGER_XXSM_BOX_MED: 8,
+    TRIGGER_XXXSM_BOX_MED: 4,
+}
+_STOP_SIGN_SIZES = {
+    TRIGGER_BIG_STOP_SIGN: 18,
+    TRIGGER_SM_STOP_SIGN: 14,
+    TRIGGER_XSM_STOP_SIGN: 11,
+    TRIGGER_XXSM_STOP_SIGN: 8,
+    TRIGGER_XXXSM_STOP_SIGN: 4,
+}
+
+
+def get_trigger(
+    trigger_type: str,
+    channel: int,
+    image_size: int,
+    vmin: float = DEFAULT_VMIN,
+    vmax: float = DEFAULT_VMAX,
+) -> np.ndarray:
+    """Rasterize a trigger to float32 (H, W, C) in [vmin, vmax].
+
+    Parity with /root/reference/dataset.py:790-888.
+    """
+    if trigger_type == TRIGGER_NONE:
+        return np.full((image_size, image_size, channel), vmin, dtype=np.float32)
+    if trigger_type in _BOX_SIZES:
+        return _box_trigger(
+            _BOX_SIZES[trigger_type], image_size, channel, vmin, vmax, vmax
+        )
+    if trigger_type in _BOX_MED_SIZES:
+        return _box_trigger(
+            _BOX_MED_SIZES[trigger_type],
+            image_size,
+            channel,
+            vmin,
+            vmax,
+            (vmin + vmax) / 2.0,
+        )
+    if trigger_type in _STOP_SIGN_SIZES:
+        return _image_trigger(
+            STOP_SIGN_IMG,
+            image_size,
+            channel,
+            _STOP_SIGN_SIZES[trigger_type],
+            vmin,
+            vmax,
+            x=-2,
+            y=-2,
+        )
+    if trigger_type == TRIGGER_GLASSES:
+        return _image_trigger(
+            GLASSES_IMG, image_size, channel, int(image_size * 0.625), vmin, vmax
+        )
+    if trigger_type in (TRIGGER_FA, TRIGGER_FA_EZ, TRIGGER_MNIST, TRIGGER_MNIST_EZ):
+        raise NotImplementedError(
+            f"Trigger {trigger_type!r} requires the (Fashion)MNIST source images; "
+            "this environment has no network access to fetch them. Provide the "
+            "dataset locally and extend get_trigger."
+        )
+    raise ValueError(f"Trigger type {trigger_type!r} isn't found")
+
+
+def get_target(
+    target_type: str,
+    trigger: Optional[np.ndarray] = None,
+    dx: int = -5,
+    dy: int = -3,
+    vmin: float = DEFAULT_VMIN,
+    vmax: float = DEFAULT_VMAX,
+) -> np.ndarray:
+    """Rasterize a backdoor target to float32 (H, W, C) in [vmin, vmax].
+
+    Parity with /root/reference/dataset.py:918-968.
+    """
+    if target_type in (TARGET_TG, TARGET_SHIFT) and trigger is None:
+        raise ValueError("trigger must be provided for trigger-derived targets")
+    if target_type == TARGET_TG:
+        return _bg2grey(trigger.copy(), vmin, vmax)
+    if target_type == TARGET_SHIFT:
+        return _bg2grey(_roll2d(trigger.copy(), dx=dx, dy=dy), vmin, vmax)
+    if target_type == TARGET_BOX:
+        h, w, c = trigger.shape
+        box = np.full((h, w, c), vmin, dtype=np.float32)
+        box[:10, :10, :] = (vmin + vmax) / 2.0
+        return _bg2grey(box, vmin, vmax)
+    if target_type in (TARGET_HAT, TARGET_FEDORA_HAT, TARGET_CAT):
+        path = {
+            TARGET_HAT: HAT_IMG,
+            TARGET_FEDORA_HAT: FEDORA_HAT_IMG,
+            TARGET_CAT: CAT_IMG,
+        }[target_type]
+        h, w, c = trigger.shape
+        img = _load_image(path, h, c)
+        img = normalize(img, 0.0, 1.0, vmin, vmax)
+        return _bg2grey(img, vmin, vmax)
+    if target_type == TARGET_FA:
+        raise NotImplementedError(
+            "Target 'SHOE' requires the FashionMNIST source image; unavailable "
+            "without network access."
+        )
+    raise NotImplementedError(f"Target type {target_type!r} isn't found")
+
+
+def trigger_mask(trigger: np.ndarray, vmin: float = DEFAULT_VMIN) -> np.ndarray:
+    """1.0 where the image shows through, 0.0 where the trigger is stamped
+    (dataset.py:472-473)."""
+    return np.where(trigger > vmin, 0.0, 1.0).astype(np.float32)
+
+
+def poison_images(
+    images: ArrayLike,
+    trigger: np.ndarray,
+    vmin: float = DEFAULT_VMIN,
+) -> ArrayLike:
+    """Vectorized blit over a batch (N, H, W, C): mask*img + (1-mask)*trigger.
+
+    Works under numpy and jax.numpy alike (pure broadcasting).
+    """
+    mask = trigger_mask(trigger, vmin)
+    return mask * images + (1.0 - mask) * trigger
+
+
+def inpaint_boxes(
+    images: ArrayLike, up: int, low: int, left: int, right: int
+) -> ArrayLike:
+    """Blank a rectangle to the batch-minimum value (dataset.py:547-563)."""
+    fill = images.min()
+    out = np.array(images, copy=True)
+    out[:, up:low, left:right, :] = fill
+    return out
+
+
+INPAINT_BOX = "INPAINT_BOX"
+INPAINT_LINE = "INPAINT_LINE"
+
+
+def inpaint_by_type(images: ArrayLike, inpaint_type: str) -> ArrayLike:
+    """Corruption masks for the inpainting-recovery tasks
+    (dataset.py:565-579)."""
+    half = images.shape[-2] // 2
+    if inpaint_type == INPAINT_LINE:
+        return inpaint_boxes(
+            images,
+            up=0,
+            low=2 * half,
+            left=half - half // 10,
+            right=half + half // 20,
+        )
+    if inpaint_type == INPAINT_BOX:
+        lo, hi = half - half // 3, half + half // 3
+        return inpaint_boxes(images, up=lo, low=hi, left=lo, right=hi)
+    raise NotImplementedError(f"inpaint: {inpaint_type!r} is not implemented")
