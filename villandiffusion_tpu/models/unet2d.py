@@ -1,0 +1,461 @@
+"""Flax UNet2D for pixel/latent diffusion (DDPM + NCSN++ families), NHWC.
+
+TPU-first design
+----------------
+- NHWC layout end-to-end (native for TPU convolutions; the reference's NCHW
+  is a CUDA convention).
+- All convs/matmuls run through XLA with `preferred_element_type=float32`
+  accumulation; a bf16 compute policy is applied at the train-step level by
+  casting inputs/params, while master params stay fp32.
+- Self-attention uses `villandiffusion_tpu.ops.attention` (Pallas flash
+  kernel on TPU, XLA fallback elsewhere).
+- No data-dependent Python control flow: the block structure is static from
+  the config, so a single `jit` trace covers the whole net.
+
+Architecture parity: mirrors the computation graph of HF diffusers
+``UNet2DModel`` as configured by the reference factory
+(/root/reference/model.py:816-834 DDPM config; :836-858 NCSN++ config) so
+that converted torch checkpoints produce identical outputs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from villandiffusion_tpu.ops.attention import spatial_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class UNet2DConfig:
+    in_channels: int = 3
+    out_channels: int = 3
+    sample_size: int = 32
+    block_out_channels: Tuple[int, ...] = (128, 256, 256, 256)
+    down_block_types: Tuple[str, ...] = (
+        "DownBlock2D",
+        "AttnDownBlock2D",
+        "DownBlock2D",
+        "DownBlock2D",
+    )
+    up_block_types: Tuple[str, ...] = (
+        "UpBlock2D",
+        "UpBlock2D",
+        "AttnUpBlock2D",
+        "UpBlock2D",
+    )
+    layers_per_block: int = 2
+    downsample_padding: int = 0
+    norm_num_groups: int = 32
+    norm_eps: float = 1e-6
+    flip_sin_to_cos: bool = False
+    freq_shift: float = 1.0
+    time_embedding_type: str = "positional"  # or "fourier" (NCSN++)
+    mid_block_scale_factor: float = 1.0
+    attention_head_dim: Optional[int] = None  # None -> single head
+    add_attention: bool = True
+    center_input_sample: bool = False
+    resnet_time_scale_shift: str = "default"
+
+    @classmethod
+    def ddpm_32(cls, channels: int = 3, sample_size: int = 32) -> "UNet2DConfig":
+        """Fresh DDPM config used by the reference for from-scratch training
+        (/root/reference/model.py:816-834)."""
+        return cls(in_channels=channels, out_channels=channels, sample_size=sample_size)
+
+    @classmethod
+    def ddpm_cifar10(cls) -> "UNet2DConfig":
+        """google/ddpm-cifar10-32 architecture."""
+        return cls()
+
+    @classmethod
+    def ddpm_256(cls, channels: int = 3) -> "UNet2DConfig":
+        """google/ddpm-(ema-)celebahq/church/bedroom-256 architecture."""
+        return cls(
+            in_channels=channels,
+            out_channels=channels,
+            sample_size=256,
+            block_out_channels=(128, 128, 256, 256, 512, 512),
+            down_block_types=(
+                "DownBlock2D",
+                "DownBlock2D",
+                "DownBlock2D",
+                "DownBlock2D",
+                "AttnDownBlock2D",
+                "DownBlock2D",
+            ),
+            up_block_types=(
+                "UpBlock2D",
+                "AttnUpBlock2D",
+                "UpBlock2D",
+                "UpBlock2D",
+                "UpBlock2D",
+                "UpBlock2D",
+            ),
+            flip_sin_to_cos=True,
+            freq_shift=0.0,
+            downsample_padding=0,
+        )
+
+    @classmethod
+    def ldm_celebahq_unet(cls) -> "UNet2DConfig":
+        """CompVis/ldm-celebahq-256 denoising UNet (latent space 64x64x3)."""
+        return cls(
+            in_channels=3,
+            out_channels=3,
+            sample_size=64,
+            block_out_channels=(224, 448, 672, 896),
+            down_block_types=(
+                "DownBlock2D",
+                "AttnDownBlock2D",
+                "AttnDownBlock2D",
+                "AttnDownBlock2D",
+            ),
+            up_block_types=(
+                "AttnUpBlock2D",
+                "AttnUpBlock2D",
+                "AttnUpBlock2D",
+                "UpBlock2D",
+            ),
+            layers_per_block=2,
+            flip_sin_to_cos=True,
+            freq_shift=0.0,
+            norm_num_groups=32,
+            attention_head_dim=32,
+            downsample_padding=1,
+        )
+
+    @classmethod
+    def ncsnpp_32(cls, channels: int = 3, sample_size: int = 32) -> "UNet2DConfig":
+        """Fresh NCSN++ (VE) config (/root/reference/model.py:836-858)."""
+        return cls(
+            in_channels=channels,
+            out_channels=channels,
+            sample_size=sample_size,
+            block_out_channels=(128, 256, 256, 256),
+            down_block_types=(
+                "SkipDownBlock2D",
+                "AttnSkipDownBlock2D",
+                "SkipDownBlock2D",
+                "SkipDownBlock2D",
+            ),
+            up_block_types=(
+                "SkipUpBlock2D",
+                "SkipUpBlock2D",
+                "AttnSkipUpBlock2D",
+                "SkipUpBlock2D",
+            ),
+            layers_per_block=4,
+            downsample_padding=1,
+            flip_sin_to_cos=True,
+            freq_shift=0.0,
+            norm_num_groups=None,
+            norm_eps=1e-6,
+            time_embedding_type="fourier",
+            mid_block_scale_factor=1.41421356237,
+        )
+
+
+# ---------------------------------------------------------------------------
+# small layers
+# ---------------------------------------------------------------------------
+
+
+def timestep_embedding(
+    timesteps: jnp.ndarray,
+    dim: int,
+    flip_sin_to_cos: bool,
+    freq_shift: float,
+    max_period: float = 10000.0,
+    scale: float = 1.0,
+) -> jnp.ndarray:
+    """Sinusoidal timestep embedding (diffusers get_timestep_embedding
+    semantics, incl. the freq_shift denominator offset)."""
+    half = dim // 2
+    exponent = -np.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - freq_shift)
+    freqs = jnp.exp(exponent)
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None, :]
+    args = scale * args
+    sin, cos = jnp.sin(args), jnp.cos(args)
+    emb = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class GaussianFourierProjection(nn.Module):
+    """Random Fourier features for continuous (sigma) conditioning (NCSN++)."""
+
+    embedding_size: int = 256
+    scale: float = 16.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        W = self.param(
+            "weight",
+            lambda key, shape: jax.random.normal(key, shape) * self.scale,
+            (self.embedding_size,),
+        )
+        W = jax.lax.stop_gradient(W)
+        x_proj = jnp.log(x.astype(jnp.float32))[:, None] * W[None, :] * 2 * jnp.pi
+        return jnp.concatenate([jnp.sin(x_proj), jnp.cos(x_proj)], axis=-1)
+
+
+class Conv3x3(nn.Module):
+    features: int
+    stride: int = 1
+    padding: int = 1
+    name_: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            self.features,
+            (3, 3),
+            strides=(self.stride, self.stride),
+            padding=[(self.padding, self.padding)] * 2,
+            dtype=x.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+
+
+def group_norm(x, groups, eps, name):
+    return nn.GroupNorm(
+        num_groups=groups, epsilon=eps, dtype=jnp.float32, name=name
+    )(x)
+
+
+class ResnetBlock(nn.Module):
+    """GroupNorm-SiLU-Conv x2 with additive time conditioning, matching
+    diffusers ResnetBlock2D (default, non-scale-shift)."""
+
+    out_channels: int
+    groups: int
+    eps: float
+    output_scale_factor: float = 1.0
+    use_shortcut: Optional[bool] = None
+
+    @nn.compact
+    def __call__(self, x, temb):
+        in_ch = x.shape[-1]
+        h = group_norm(x, self.groups, self.eps, "norm1")
+        h = nn.silu(h)
+        h = nn.Conv(
+            self.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
+            param_dtype=jnp.float32, name="conv1",
+        )(h)
+        t = nn.Dense(self.out_channels, param_dtype=jnp.float32, name="time_emb_proj")(
+            nn.silu(temb)
+        )
+        h = h + t[:, None, None, :]
+        h = group_norm(h, self.groups, self.eps, "norm2")
+        h = nn.silu(h)
+        h = nn.Conv(
+            self.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
+            param_dtype=jnp.float32, name="conv2",
+        )(h)
+        use_sc = self.use_shortcut
+        if use_sc is None:
+            use_sc = in_ch != self.out_channels
+        if use_sc:
+            x = nn.Conv(
+                self.out_channels, (1, 1), param_dtype=jnp.float32,
+                name="conv_shortcut",
+            )(x)
+        return (x + h) / self.output_scale_factor
+
+
+class AttentionBlock(nn.Module):
+    """Spatial self-attention over HxW tokens (diffusers AttentionBlock)."""
+
+    groups: int
+    eps: float
+    head_dim: Optional[int] = None
+    rescale_output_factor: float = 1.0
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        n_heads = 1 if self.head_dim is None else max(C // self.head_dim, 1)
+        h = group_norm(x, self.groups, self.eps, "group_norm")
+        h = h.reshape(B, H * W, C)
+        q = nn.Dense(C, param_dtype=jnp.float32, name="query")(h)
+        k = nn.Dense(C, param_dtype=jnp.float32, name="key")(h)
+        v = nn.Dense(C, param_dtype=jnp.float32, name="value")(h)
+        out = spatial_attention(q, k, v, n_heads)
+        out = nn.Dense(C, param_dtype=jnp.float32, name="proj_attn")(out)
+        out = out.reshape(B, H, W, C)
+        return (x + out) / self.rescale_output_factor
+
+
+class Downsample(nn.Module):
+    channels: int
+    padding: int = 0
+
+    @nn.compact
+    def __call__(self, x):
+        if self.padding == 0:
+            # diffusers pads (0,1,0,1) when padding==0
+            x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            pad = [(0, 0), (0, 0)]
+        else:
+            pad = [(self.padding, self.padding)] * 2
+        return nn.Conv(
+            self.channels, (3, 3), strides=(2, 2), padding=pad,
+            param_dtype=jnp.float32, name="conv",
+        )(x)
+
+
+class Upsample(nn.Module):
+    channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        x = jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
+        return nn.Conv(
+            self.channels, (3, 3), padding=[(1, 1), (1, 1)],
+            param_dtype=jnp.float32, name="conv",
+        )(x)
+
+
+# ---------------------------------------------------------------------------
+# UNet
+# ---------------------------------------------------------------------------
+
+
+class UNet2D(nn.Module):
+    """The denoising UNet. Input/outputs are NHWC.
+
+    ``__call__(x, timesteps)`` where timesteps is (B,) — integer timesteps for
+    VP models, sigma values for VE models (the reference calls NCSN++ with
+    sigma, /root/reference/loss.py:996-1004).
+    """
+
+    config: UNet2DConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, timesteps: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        block_out = cfg.block_out_channels
+        time_embed_dim = block_out[0] * 4
+        groups = cfg.norm_num_groups if cfg.norm_num_groups is not None else 32
+
+        if cfg.center_input_sample:
+            x = 2.0 * x - 1.0
+
+        # --- time embedding ---
+        if timesteps.ndim == 0:
+            timesteps = jnp.broadcast_to(timesteps, (x.shape[0],))
+        if cfg.time_embedding_type == "positional":
+            temb = timestep_embedding(
+                timesteps, block_out[0], cfg.flip_sin_to_cos, cfg.freq_shift
+            )
+        elif cfg.time_embedding_type == "fourier":
+            temb = GaussianFourierProjection(
+                embedding_size=block_out[0] // 2, name="time_proj"
+            )(timesteps)
+        else:
+            raise NotImplementedError(cfg.time_embedding_type)
+        temb = nn.Dense(time_embed_dim, param_dtype=jnp.float32, name="time_dense_1")(temb)
+        temb = nn.silu(temb)
+        temb = nn.Dense(time_embed_dim, param_dtype=jnp.float32, name="time_dense_2")(temb)
+
+        # --- input conv ---
+        h = nn.Conv(
+            block_out[0], (3, 3), padding=[(1, 1), (1, 1)],
+            param_dtype=jnp.float32, name="conv_in",
+        )(x)
+
+        skips = [h]
+        # --- down path ---
+        for i, btype in enumerate(cfg.down_block_types):
+            out_ch = block_out[i]
+            is_final = i == len(block_out) - 1
+            attn = "Attn" in btype
+            if "Skip" in btype:
+                raise NotImplementedError(
+                    "NCSN++ Skip blocks land with the VE milestone"
+                )
+            for j in range(cfg.layers_per_block):
+                h = ResnetBlock(
+                    out_channels=out_ch, groups=groups, eps=cfg.norm_eps,
+                    name=f"down_{i}_res_{j}",
+                )(h, temb)
+                if attn:
+                    h = AttentionBlock(
+                        groups=groups, eps=cfg.norm_eps,
+                        head_dim=cfg.attention_head_dim,
+                        name=f"down_{i}_attn_{j}",
+                    )(h)
+                skips.append(h)
+            if not is_final:
+                h = Downsample(
+                    out_ch, padding=cfg.downsample_padding, name=f"down_{i}_downsample"
+                )(h)
+                skips.append(h)
+
+        # --- mid ---
+        h = ResnetBlock(
+            out_channels=block_out[-1], groups=groups, eps=cfg.norm_eps,
+            output_scale_factor=cfg.mid_block_scale_factor, name="mid_res_0",
+        )(h, temb)
+        if cfg.add_attention:
+            h = AttentionBlock(
+                groups=groups, eps=cfg.norm_eps, head_dim=cfg.attention_head_dim,
+                rescale_output_factor=cfg.mid_block_scale_factor, name="mid_attn",
+            )(h)
+        h = ResnetBlock(
+            out_channels=block_out[-1], groups=groups, eps=cfg.norm_eps,
+            output_scale_factor=cfg.mid_block_scale_factor, name="mid_res_1",
+        )(h, temb)
+
+        # --- up path ---
+        rev_out = list(reversed(block_out))
+        for i, btype in enumerate(cfg.up_block_types):
+            out_ch = rev_out[i]
+            is_final = i == len(block_out) - 1
+            attn = "Attn" in btype
+            if "Skip" in btype:
+                raise NotImplementedError(
+                    "NCSN++ Skip blocks land with the VE milestone"
+                )
+            for j in range(cfg.layers_per_block + 1):
+                skip = skips.pop()
+                h = jnp.concatenate([h, skip], axis=-1)
+                h = ResnetBlock(
+                    out_channels=out_ch, groups=groups, eps=cfg.norm_eps,
+                    name=f"up_{i}_res_{j}",
+                )(h, temb)
+                if attn:
+                    h = AttentionBlock(
+                        groups=groups, eps=cfg.norm_eps,
+                        head_dim=cfg.attention_head_dim,
+                        name=f"up_{i}_attn_{j}",
+                    )(h)
+            if not is_final:
+                h = Upsample(out_ch, name=f"up_{i}_upsample")(h)
+
+        # --- out ---
+        h = group_norm(h, groups, cfg.norm_eps, "norm_out")
+        h = nn.silu(h)
+        h = nn.Conv(
+            cfg.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
+            param_dtype=jnp.float32, name="conv_out",
+        )(h)
+        return h
+
+    def init_params(self, rng: jax.Array, batch: int = 1):
+        x = jnp.zeros(
+            (batch, self.config.sample_size, self.config.sample_size,
+             self.config.in_channels),
+            jnp.float32,
+        )
+        t = jnp.zeros((batch,), jnp.int32)
+        return jax.jit(self.init)(rng, x, t)
