@@ -1,0 +1,68 @@
+"""Headline benchmark: DDIM-50 CIFAR10-32 sampling throughput per chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no throughput numbers (BASELINE.md); ``vs_baseline``
+is measured against REF_IMGS_PER_SEC below — an optimistic estimate of the
+reference stack's per-GPU DDIM-50 throughput on its documented hardware
+(diffusers DDPMPipeline-family on a V100: ~50 UNet evals/image at ~6.5
+GFLOPs/eval; measured community numbers land in the 100-200 imgs/s range for
+batched fp16 DDIM-50 on CIFAR-10; we take the favorable 200).
+"""
+
+import json
+import time
+
+REF_IMGS_PER_SEC = 200.0
+BATCH = 512
+STEPS = 50
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from villandiffusion_tpu.models import UNet2D, UNet2DConfig
+    from villandiffusion_tpu.samplers import DDIMSampler, DiffusionPipeline
+    from villandiffusion_tpu.core import schedules as S
+
+    model = UNet2D(UNet2DConfig.ddpm_cifar10())
+    params = model.init_params(jax.random.PRNGKey(0))
+    params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+
+    def apply_fn(p, x, t):
+        return model.apply(p, x.astype(jnp.bfloat16), t).astype(jnp.float32)
+
+    pipe = DiffusionPipeline(
+        apply_fn=apply_fn,
+        params=params,
+        sampler=DDIMSampler(schedule=S.VPSchedule.create()),
+        sample_size=32,
+        channels=3,
+    )
+
+    # warmup / compile
+    pipe(batch_size=BATCH, num_inference_steps=STEPS, rng=jax.random.PRNGKey(0))
+    t0 = time.perf_counter()
+    n_rep = 3
+    for i in range(n_rep):
+        out = pipe(
+            batch_size=BATCH, num_inference_steps=STEPS, rng=jax.random.PRNGKey(i)
+        )
+    dt = (time.perf_counter() - t0) / n_rep
+    imgs_per_sec = BATCH / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "ddim50_cifar10_sampling_throughput",
+                "value": round(imgs_per_sec, 2),
+                "unit": "imgs/sec/chip",
+                "vs_baseline": round(imgs_per_sec / REF_IMGS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -16,4 +16,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# A sitecustomize.py in this image force-appends the 'axon' TPU plugin to
+# jax_platforms regardless of the env var; override it explicitly so tests
+# really run on the virtual 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)

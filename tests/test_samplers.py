@@ -1,0 +1,123 @@
+"""Solver correctness via an analytic oracle.
+
+For a point-mass data distribution at c, the exact noise predictor is
+eps(x_t, t) = (x_t - sqrt(abar_t) c) / sqrt(1 - abar_t).  Any correct VP
+solver driven by this oracle must converge to c.  This validates the update
+rules without a trained model.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from villandiffusion_tpu.core import schedules as S
+from villandiffusion_tpu.samplers import DDIMSampler, DDPMSampler, DiffusionPipeline
+
+C_VAL = 0.3
+
+
+def oracle_apply(sched):
+    ab = jnp.asarray(sched.alphas_cumprod)
+
+    def apply_fn(params, x, t):
+        ab_t = ab[t].reshape((-1,) + (1,) * (x.ndim - 1))
+        return (x - jnp.sqrt(ab_t) * C_VAL) / jnp.sqrt(1.0 - ab_t)
+
+    return apply_fn
+
+
+def make_pipeline(sampler_cls, **kw):
+    sched = S.VPSchedule.create()
+    sampler = sampler_cls(schedule=sched, **kw)
+    return DiffusionPipeline(
+        apply_fn=oracle_apply(sched),
+        params={},
+        sampler=sampler,
+        sample_size=8,
+        channels=3,
+    )
+
+
+class TestOracleConvergence:
+    def test_ddim_recovers_point_mass(self):
+        pipe = make_pipeline(DDIMSampler)
+        out = pipe(batch_size=2, num_inference_steps=50, rng=jax.random.PRNGKey(0))
+        # x -> C_VAL; output map is x/2+0.5
+        assert out.images.shape == (2, 8, 8, 3)
+        assert np.allclose(out.images, C_VAL / 2 + 0.5, atol=5e-3)
+
+    def test_ddpm_recovers_point_mass(self):
+        pipe = make_pipeline(DDPMSampler)
+        out = pipe(batch_size=2, num_inference_steps=100, rng=jax.random.PRNGKey(0))
+        assert np.allclose(out.images, C_VAL / 2 + 0.5, atol=2e-2)
+
+    def test_ddim_eta_stochastic_still_converges(self):
+        pipe = make_pipeline(DDIMSampler, eta=1.0)
+        out = pipe(batch_size=1, num_inference_steps=50, rng=jax.random.PRNGKey(1))
+        assert np.allclose(out.images, C_VAL / 2 + 0.5, atol=2e-2)
+
+
+def make_zero_eps_pipeline(sampler_cls, **kw):
+    """eps=0 model: DDIM final output = init / sqrt(abar_T) — init-sensitive."""
+    sched = S.VPSchedule.create()
+    return DiffusionPipeline(
+        apply_fn=lambda params, x, t: jnp.zeros_like(x),
+        params={},
+        sampler=sampler_cls(schedule=sched, **kw),
+        sample_size=8,
+        channels=3,
+    )
+
+
+class TestPipelineContract:
+    def test_init_is_used(self):
+        pipe = make_zero_eps_pipeline(DDIMSampler)
+        init = jnp.full((1, 8, 8, 3), 0.05)
+        out1 = pipe(num_inference_steps=2, init=init)
+        out2 = pipe(num_inference_steps=2, init=-init)
+        assert not np.allclose(out1.images, out2.images)
+
+    def test_deterministic_given_rng(self):
+        pipe = make_pipeline(DDPMSampler)
+        a = pipe(batch_size=1, num_inference_steps=10, rng=jax.random.PRNGKey(3))
+        b = pipe(batch_size=1, num_inference_steps=10, rng=jax.random.PRNGKey(3))
+        assert np.allclose(a.images, b.images)
+
+    def test_save_every_step_trajectory(self):
+        pipe = make_pipeline(DDIMSampler)
+        out = pipe(batch_size=1, num_inference_steps=10, save_every_step=True)
+        assert out.movie is not None and len(out.movie) == 10
+        assert out.movie[-1].shape == (1, 8, 8, 3)
+        assert np.allclose(out.movie[-1], out.images)
+
+    def test_start_from_skips_steps(self):
+        pipe = make_zero_eps_pipeline(DDIMSampler)
+        init = jnp.full((1, 8, 8, 3), 0.2)
+        full = pipe(num_inference_steps=4, init=init, start_from=0)
+        part = pipe(num_inference_steps=4, init=init, start_from=3)
+        # eps=0: x0 = x/sqrt(abar_t); fewer steps -> different rescale chain
+        assert not np.allclose(full.images, part.images)
+
+    def test_output_range(self):
+        pipe = make_pipeline(DDIMSampler)
+        out = pipe(batch_size=1, num_inference_steps=5)
+        assert out.images.min() >= 0.0 and out.images.max() <= 1.0
+
+    def test_encode_identity_for_pixel_models(self):
+        pipe = make_pipeline(DDIMSampler)
+        x = jnp.ones((1, 8, 8, 3)) * 0.7
+        assert np.allclose(pipe.encode(x), x)
+
+    def test_clip_sample(self):
+        sched = S.VPSchedule.create()
+        pipe = DiffusionPipeline(
+            apply_fn=oracle_apply(sched),
+            params={},
+            sampler=DDIMSampler(schedule=sched, clip_sample=True, clip_sample_range=0.1),
+            sample_size=8,
+            channels=3,
+        )
+        out = pipe(batch_size=1, num_inference_steps=20, rng=jax.random.PRNGKey(0))
+        # clipping x0 to +-0.1 must bound the final sample near 0.1 not 0.3
+        assert np.allclose(out.images, 0.1 / 2 + 0.5, atol=2e-2)

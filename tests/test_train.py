@@ -1,0 +1,117 @@
+"""End-to-end training-step tests on a virtual 8-device DP mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from villandiffusion_tpu.core import schedules as S
+from villandiffusion_tpu.data import loader as L
+from villandiffusion_tpu.models import UNet2D, UNet2DConfig
+from villandiffusion_tpu.parallel import make_mesh, shard_batch
+from villandiffusion_tpu.train.loop import Trainer, make_optimizer
+from villandiffusion_tpu.train.loss import BackdoorLoss
+
+
+@pytest.fixture(scope="module")
+def setup():
+    assert len(jax.devices()) == 8, "conftest should provide 8 virtual devices"
+    mesh = make_mesh()
+    cfg = UNet2DConfig(
+        in_channels=3,
+        out_channels=3,
+        sample_size=16,
+        block_out_channels=(16, 32),
+        down_block_types=("DownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "UpBlock2D"),
+        layers_per_block=1,
+        norm_num_groups=8,
+    )
+    model = UNet2D(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    sched = S.VPSchedule.create(timesteps=100)
+    loss = BackdoorLoss(sched, sde_type=S.SDE_VP, psi=1.0)
+    trainer = Trainer(
+        apply_fn=model.apply,
+        loss_fn=loss,
+        optimizer=make_optimizer(1e-3, warmup_steps=1, total_steps=100),
+        mesh=mesh,
+        compute_dtype=jnp.float32,
+    )
+    state = trainer.init_state(params)
+    step = trainer.make_step()
+    return mesh, trainer, state, step
+
+
+def _batch(mesh, n=16, size=16):
+    dsl = (
+        L.DatasetLoader(L.FAKE32, image_size=size, num_fake=32, batch_size=n)
+        .set_poison("BOX_14", "CORNER", poison_rate=0.5)
+        .prepare_dataset(mode="FIXED")
+    )
+    raw = next(iter(dsl.get_dataloader(batch_size=n)))
+    return shard_batch(mesh, {"target": raw["target"], "pixel_values": raw["pixel_values"]})
+
+
+def test_train_step_runs_and_loss_decreases(setup):
+    mesh, trainer, state, step = setup
+    batch = _batch(mesh)
+    rng = jax.random.PRNGKey(42)
+    losses = []
+    for i in range(12):
+        state, loss = step(state, batch, rng)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    # same batch repeatedly: loss must trend down
+    assert np.mean(losses[-3:]) < np.mean(losses[:3])
+    assert int(state.step) == 12
+
+
+def test_batch_is_sharded_on_data_axis(setup):
+    mesh, trainer, state, step = setup
+    batch = _batch(mesh)
+    shard = batch["target"].sharding
+    assert shard.spec == jax.sharding.PartitionSpec("data")
+    assert len(batch["target"].addressable_shards) == 8
+
+
+def test_params_replicated(setup):
+    mesh, trainer, state, step = setup
+    leaf = jax.tree.leaves(state.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_grad_accumulation():
+    mesh = make_mesh(n_devices=1)
+    sched = S.VPSchedule.create(timesteps=10)
+    cfg = UNet2DConfig(
+        in_channels=3, out_channels=3, sample_size=8,
+        block_out_channels=(8, 8),
+        down_block_types=("DownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "UpBlock2D"),
+        layers_per_block=1, norm_num_groups=4,
+    )
+    model = UNet2D(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    trainer = Trainer(
+        apply_fn=model.apply,
+        loss_fn=BackdoorLoss(sched),
+        optimizer=make_optimizer(1e-3, gradient_accumulation_steps=2),
+        mesh=mesh,
+        compute_dtype=jnp.float32,
+    )
+    state = trainer.init_state(params)
+    step = trainer.make_step()
+    x = jnp.zeros((2, 8, 8, 3))
+    batch = {"target": x, "pixel_values": x}
+    p0 = jax.tree.leaves(state.params)[0].copy()
+    state, _ = step(state, batch, jax.random.PRNGKey(0))
+    p1 = jax.tree.leaves(state.params)[0]
+    # after 1 of 2 accumulation microsteps params must be unchanged
+    assert np.allclose(p0, p1)
+    # run three more microsteps: the second *applied* update (gradient step 1)
+    # has nonzero warmup lr, so params must move
+    for i in range(3):
+        state, _ = step(state, batch, jax.random.PRNGKey(i + 1))
+    p2 = jax.tree.leaves(state.params)[0]
+    assert not np.allclose(p0, p2)

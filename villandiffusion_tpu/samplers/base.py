@@ -1,0 +1,182 @@
+"""Sampler/pipeline infrastructure: every solver is a `lax.scan` step.
+
+Contract parity with the reference's forked-diffusers pipelines
+(SURVEY.md §2.9; call sites /root/reference/VillanDiffusion.py:579-581,
+620-636, model.py:482-487,517-521):
+
+- ``pipeline(batch_size=, num_inference_steps=, init=, start_from=,
+  save_every_step=, eta=, output_type=None, rng=)``
+- ``init``: initial latent (enables trigger-shifted noise `noise + encode(R)`)
+- ``start_from``: begin the denoise loop at step index k (inpainting tasks)
+- ``save_every_step``: capture the trajectory; exposed as ``.movie``
+- ``output_type=None``: numpy float NHWC in [0, 1]
+- ``pipeline.encode(x)``: pixel->model space (identity for pixel models,
+  VAE encode for latent models)
+
+TPU-first: the full denoise loop is ONE jitted scan per (shape, steps)
+combination — no per-step Python dispatch, no host sync until the final
+device->host copy.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class Sampler:
+    """Interface: subclasses provide timestep ladders and the update rule."""
+
+    #: True if the solver injects fresh noise each step (needs rng in scan).
+    stochastic: bool = False
+    #: model conditioning: "timestep" (VP) or "sigma" (VE)
+    conditioning: str = "timestep"
+
+    def timesteps(self, num_inference_steps: int) -> np.ndarray:
+        """Descending array of model timesteps (int) for the denoise loop."""
+        raise NotImplementedError
+
+    def init_latent_scale(self) -> float:
+        """Multiplier applied to the unit-gaussian initial latent (1.0 for VP,
+        sigma_max for VE / Karras)."""
+        return 1.0
+
+    def init_carry(self, x: jnp.ndarray, num_inference_steps: int):
+        """Extra solver state threaded through the scan (history buffers for
+        multistep solvers). Default: none."""
+        return ()
+
+    def step(
+        self,
+        x: jnp.ndarray,
+        eps: jnp.ndarray,
+        i: jnp.ndarray,
+        carry: Any,
+        rng: Optional[jax.Array],
+        num_inference_steps: int,
+    ) -> Tuple[jnp.ndarray, Any]:
+        """One solver update: (x_i, eps_pred, step index i, carry) -> x_{i+1}."""
+        raise NotImplementedError
+
+
+@dataclasses.dataclass
+class SamplerOutput:
+    images: np.ndarray
+    movie: Optional[list] = None
+
+
+class DiffusionPipeline:
+    """Runs the jitted denoise scan and maps model space -> [0,1] images."""
+
+    def __init__(
+        self,
+        apply_fn: Callable,          # (params, x, cond) -> eps/score
+        params,
+        sampler: Sampler,
+        sample_size: int,
+        channels: int,
+        vae=None,                    # optional object with encode/decode
+        output_map: str = "vp",      # "vp": x/2+0.5 ; "ve": clip(x, 0, 1)
+    ):
+        self.apply_fn = apply_fn
+        self.params = params
+        self.sampler = sampler
+        self.sample_size = sample_size
+        self.channels = channels
+        self.vae = vae
+        self.output_map = output_map
+
+    # --- reference surface: .unet.in_channels / .sample_size --------------
+    @property
+    def in_channels(self) -> int:
+        return self.channels
+
+    def encode(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Pixel space -> model (latent) space; identity for pixel models
+        (/root/reference/VillanDiffusion.py:631-634)."""
+        if self.vae is None:
+            return jnp.asarray(x)
+        return self.vae.encode(jnp.asarray(x))
+
+    def decode(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.vae is None:
+            return x
+        return self.vae.decode(x)
+
+    def _to_images(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = self.decode(x)
+        if self.output_map == "vp":
+            return jnp.clip(x / 2.0 + 0.5, 0.0, 1.0)
+        return jnp.clip(x, 0.0, 1.0)
+
+    @functools.lru_cache(maxsize=32)
+    def _compiled_run(self, num_inference_steps: int, start_from: int, save_every_step: bool):
+        sampler = self.sampler
+        ts = sampler.timesteps(num_inference_steps)
+
+        def run(params, x, rng):
+            carry0 = sampler.init_carry(x, num_inference_steps)
+            idxs = jnp.arange(start_from, len(ts))
+
+            def body(state, i):
+                x, carry, key = state
+                key, sub = jax.random.split(key)
+                t = jnp.asarray(ts)[i]
+                if sampler.conditioning == "sigma":
+                    cond = sampler.cond_value(i)
+                else:
+                    cond = jnp.broadcast_to(t, (x.shape[0],))
+                eps = self.apply_fn(params, x, cond)
+                x_next, carry = sampler.step(
+                    x, eps, i, carry, sub, num_inference_steps
+                )
+                y = self._to_images(x_next) if save_every_step else jnp.zeros((0,))
+                return (x_next, carry, key), y
+
+            (x_final, _, _), ys = jax.lax.scan(
+                body, (x, carry0, rng), idxs
+            )
+            return self._to_images(x_final), ys
+
+        return jax.jit(run)
+
+    def __call__(
+        self,
+        batch_size: int = 1,
+        num_inference_steps: int = 1000,
+        init: Optional[jnp.ndarray] = None,
+        start_from: int = 0,
+        save_every_step: bool = False,
+        eta: Optional[float] = None,
+        output_type: Optional[str] = None,
+        rng: Optional[jax.Array] = None,
+        generator: Optional[jax.Array] = None,
+    ) -> SamplerOutput:
+        rng = rng if rng is not None else (generator if generator is not None else jax.random.PRNGKey(0))
+        if eta is not None and hasattr(self.sampler, "eta"):
+            self.sampler = dataclasses.replace(self.sampler, eta=eta)
+            self._compiled_run.cache_clear()
+        if init is None:
+            rng, sub = jax.random.split(rng)
+            init = (
+                jax.random.normal(
+                    sub,
+                    (batch_size, self.sample_size, self.sample_size, self.channels),
+                )
+                * self.sampler.init_latent_scale()
+            )
+        else:
+            init = jnp.asarray(init)
+        run = self._compiled_run(int(num_inference_steps), int(start_from), bool(save_every_step))
+        images, ys = run(self.params, init, rng)
+        images = np.asarray(jax.device_get(images))
+        movie = None
+        if save_every_step:
+            ys = np.asarray(jax.device_get(ys))
+            movie = list(ys)
+        return SamplerOutput(images=images, movie=movie)
