@@ -1,0 +1,89 @@
+"""Metric + FID stack tests."""
+
+import numpy as np
+import pytest
+
+from villandiffusion_tpu.eval import Metric
+from villandiffusion_tpu.eval import fid as F
+from villandiffusion_tpu.eval.inception import FIDInceptionV3
+
+
+class TestMetric:
+    def test_mse(self):
+        a = np.zeros((4, 8, 8, 3), np.float32)
+        b = np.full((4, 8, 8, 3), 0.5, np.float32)
+        assert Metric.mse_batch(a, b) == pytest.approx(0.25)
+
+    def test_mse_thres_is_success_rate(self):
+        a = np.zeros((4, 8, 8, 3), np.float32)
+        b = a.copy()
+        b[:2] += 1.0  # first two samples: MSE 1.0; rest: 0.0
+        assert Metric.mse_thres_batch(a, b, thres=0.1) == pytest.approx(0.5)
+
+    def test_ssim_identical_is_one(self):
+        rng = np.random.default_rng(0)
+        a = rng.random((2, 32, 32, 3)).astype(np.float32)
+        assert Metric.ssim_batch(a, a) == pytest.approx(1.0, abs=1e-5)
+
+    def test_ssim_noise_lower_than_blur(self):
+        rng = np.random.default_rng(0)
+        a = np.tile(np.linspace(0, 1, 32, dtype=np.float32)[None, :, None, None], (2, 1, 32, 3)).transpose(0, 2, 1, 3)
+        noisy = np.clip(a + rng.normal(0, 0.2, a.shape).astype(np.float32), 0, 1)
+        s_noisy = Metric.ssim_batch(a, noisy)
+        assert 0.0 < s_noisy < 1.0
+
+
+class TestInception:
+    def test_activation_shape(self):
+        imgs = (np.random.default_rng(0).random((3, 32, 32, 3)) * 255).astype(np.uint8)
+        acts, pretrained = F.get_activations(imgs, batch_size=2)
+        assert acts.shape == (3, 2048)
+        assert pretrained is False  # no weights in this environment
+        assert np.isfinite(acts).all()
+
+    def test_param_count_matches_inception(self):
+        import jax, jax.numpy as jnp
+
+        model = FIDInceptionV3()
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3)))
+        n = sum(p.size for p in jax.tree.leaves(params))
+        # torchvision/pytorch-fid inception_v3 backbone (no fc/aux, BN folded
+        # to scale+bias): 94 convs = 21,751,136 weights + 2*17,216 BN terms
+        assert n == 21_751_136 + 2 * 17_216
+
+
+class TestFrechet:
+    def test_identical_stats_zero(self):
+        rng = np.random.default_rng(0)
+        acts = rng.random((500, 16))
+        mu, sig = F.activation_statistics(acts)
+        assert F.frechet_distance(mu, sig, mu, sig) == pytest.approx(0.0, abs=1e-6)
+
+    def test_known_gaussian_distance(self):
+        # For isotropic gaussians: FID = ||mu1-mu2||^2 + (s1-s2)^2 * d
+        d = 4
+        mu1, mu2 = np.zeros(d), np.ones(d) * 2.0
+        s1, s2 = np.eye(d) * 1.0, np.eye(d) * 4.0
+        want = 4.0 * d + (1.0 - 2.0) ** 2 * d
+        assert F.frechet_distance(mu1, s1, mu2, s2) == pytest.approx(want, rel=1e-6)
+
+    def test_fid_from_arrays_discriminates(self):
+        rng = np.random.default_rng(0)
+        base = (rng.random((64, 32, 32, 3)) * 255).astype(np.uint8)
+        same = base + rng.integers(0, 3, base.shape).astype(np.uint8)
+        diff = (rng.random((64, 32, 32, 3)) ** 3 * 255).astype(np.uint8)
+        f_same = F.fid_from_arrays(base, same, batch_size=32)
+        f_diff = F.fid_from_arrays(base, diff, batch_size=32)
+        assert f_same < f_diff
+
+    def test_fid_directory_surface(self, tmp_path):
+        from PIL import Image
+
+        rng = np.random.default_rng(0)
+        for sub in ["a", "b"]:
+            (tmp_path / sub).mkdir()
+            for i in range(8):
+                arr = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
+                Image.fromarray(arr).save(tmp_path / sub / f"{i}.png")
+        val = F.fid(path=[str(tmp_path / "a"), str(tmp_path / "b")], batch_size=4)
+        assert np.isfinite(val)
