@@ -1,0 +1,119 @@
+"""End-to-end CLI tests: train -> sampling -> measure -> resume on FAKE32."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from villandiffusion_tpu import cli
+
+
+COMMON = [
+    "--dataset", "FAKE32",
+    "--ckpt", "UNET-TINY-DEFAULT",
+    "--trigger", "BOX_14",
+    "--target", "CORNER",
+    "--poison_rate", "0.5",
+    "--epoch", "2",
+    "--batch", "32",
+    "--infer_steps", "5",
+    "--eval_max_batch", "16",
+    "--measure_sample_n", "16",
+    "--eval_sample_n", "4",
+    "--save_image_epochs", "2",
+    "--save_model_epochs", "1",
+]
+
+
+@pytest.fixture(scope="module")
+def run_dir(tmp_path_factory):
+    res = tmp_path_factory.mktemp("runs")
+    cli.main(["--mode", "train"] + COMMON + ["--result", str(res), "--overwrite"])
+    (out,) = [d for d in os.listdir(res) if d.startswith("res_")]
+    return os.path.join(str(res), out)
+
+
+class TestTrain:
+    def test_run_dir_artifacts(self, run_dir):
+        assert os.path.exists(os.path.join(run_dir, "args.json"))
+        assert os.path.exists(os.path.join(run_dir, "config.json"))
+        assert os.path.exists(os.path.join(run_dir, "unet", "params.msgpack"))
+        assert os.path.exists(os.path.join(run_dir, "metrics.jsonl"))
+        # epoch-0 grid + final grid
+        assert os.path.exists(os.path.join(run_dir, "samples", "0.png"))
+        assert os.path.exists(os.path.join(run_dir, "samples", "final.png"))
+        assert os.path.exists(os.path.join(run_dir, "backdoor_samples", "final.png"))
+
+    def test_loss_logged(self, run_dir):
+        with open(os.path.join(run_dir, "metrics.jsonl")) as f:
+            recs = [json.loads(line) for line in f]
+        losses = [r["loss"] for r in recs if "loss" in r]
+        assert len(losses) == 2 and all(np.isfinite(losses))
+
+    def test_naming_encodes_params(self, run_dir):
+        name = os.path.basename(run_dir)
+        assert "FAKE32" in name and "BOX_14-CORNER" in name and "p0.5" in name
+
+
+class TestSampling:
+    def test_sampling_mode(self, run_dir):
+        cli.main(
+            ["--mode", "sampling", "--ckpt", run_dir, "--sched", "DDIM-SCHED",
+             "--infer_steps", "4"]
+        )
+        assert os.path.exists(os.path.join(run_dir, "samples", "sampling.png"))
+        assert os.path.exists(os.path.join(run_dir, "sampling.json"))
+
+
+class TestMeasure:
+    def test_measure_mode_writes_scores(self, run_dir):
+        scores = cli.main(
+            ["--mode", "measure", "--ckpt", run_dir, "--sched", "DDIM-SCHED",
+             "--infer_steps", "4"]
+        )
+        path = os.path.join(run_dir, "score.json")
+        assert os.path.exists(path)
+        with open(path) as f:
+            data = json.load(f)
+        assert any(k.startswith("FID_") for k in data)
+        assert any(k.startswith("MSE_ep") for k in data)
+        assert any(k.startswith("SSIM_") for k in data)
+        for v in scores.values():
+            assert np.isfinite(v)
+
+    def test_measure_resume_cache(self, run_dir):
+        """PNG-count cache: re-measure skips generation (idempotent eval)."""
+        clean_dir = os.path.join(run_dir, "measure", "clean")
+        n_png = len(os.listdir(clean_dir))
+        assert n_png == 16
+        mtimes = {f: os.path.getmtime(os.path.join(clean_dir, f)) for f in os.listdir(clean_dir)}
+        cli.main(
+            ["--mode", "measure", "--ckpt", run_dir, "--sched", "DDIM-SCHED",
+             "--infer_steps", "4"]
+        )
+        for f, t in mtimes.items():
+            assert os.path.getmtime(os.path.join(clean_dir, f)) == t
+
+
+class TestResume:
+    def test_resume_continues(self, run_dir):
+        cli.main(["--mode", "resume", "--ckpt", run_dir])
+        with open(os.path.join(run_dir, "metrics.jsonl")) as f:
+            recs = [json.loads(line) for line in f]
+        epochs = [r["epoch"] for r in recs if "epoch" in r]
+        # initial train: epochs 0,1 — resume restores ep1 and exits (>= epoch)
+        assert max(epochs) >= 1
+
+
+class TestConfigGuards:
+    def test_existing_dir_without_overwrite_raises(self, run_dir, tmp_path):
+        res = os.path.dirname(run_dir)
+        with pytest.raises(ValueError, match="already exists"):
+            cli.main(["--mode", "train"] + COMMON + ["--result", res])
+
+    def test_invalid_flag_for_mode(self, run_dir):
+        with pytest.raises(NotImplementedError, match="isn't used in mode"):
+            cli.main(
+                ["--mode", "sampling", "--ckpt", run_dir, "--poison_rate", "0.9"]
+            )

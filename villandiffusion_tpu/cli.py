@@ -1,0 +1,370 @@
+"""CLI entry point: train / resume / sampling / measure / train+measure.
+
+Surface parity with /root/reference/VillanDiffusion.py (flags, run-dir
+layout, score.json, resume semantics); the execution engine is the TPU-native
+stack: DP-mesh jitted train step, scan samplers, in-memory metrics.
+
+Usage:
+    python -m villandiffusion_tpu.cli --mode train --dataset CIFAR10 \
+        --trigger BOX_14 --target BWHAT --poison_rate 0.1 --epoch 50 ...
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import traceback
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from villandiffusion_tpu import config as C
+from villandiffusion_tpu import factory as F
+from villandiffusion_tpu.core import schedules as S
+from villandiffusion_tpu.data import loader as L
+from villandiffusion_tpu.eval import Metric
+from villandiffusion_tpu.eval.fid import fid_from_arrays
+from villandiffusion_tpu.io.checkpoint import (
+    CheckpointManager,
+    load_model_dir,
+    save_model_dir,
+)
+from villandiffusion_tpu.parallel import make_mesh, shard_batch
+from villandiffusion_tpu.train.loop import Trainer, make_optimizer
+from villandiffusion_tpu.train.loss import BackdoorLoss
+from villandiffusion_tpu.utils import samples as IMG
+from villandiffusion_tpu.utils.log import Log, MetricsLogger
+
+SCORE_FILE = "score.json"
+
+
+def get_data_loader(config: C.TrainingConfig) -> L.DatasetLoader:
+    # value-range contract by sde family (VillanDiffusion.py:398-405)
+    if config.sde_type in (S.SDE_VP, S.SDE_LDM):
+        vmin, vmax = -1.0, 1.0
+    else:
+        vmin, vmax = 0.0, 1.0
+    dsl = L.DatasetLoader(
+        config.dataset,
+        batch_size=config.batch,
+        vmin=vmin,
+        vmax=vmax,
+        seed=config.seed,
+    )
+    dsl.set_poison(
+        trigger_type=config.trigger,
+        target_type=config.target,
+        clean_rate=config.clean_rate,
+        poison_rate=config.poison_rate,
+        ext_poison_rate=config.ext_poison_rate,
+    ).prepare_dataset(
+        mode=config.dataset_load_mode, R_trigger_only=config.R_trigger_only
+    )
+    Log.info(
+        f"dataset {config.dataset}: {len(dsl)} examples, "
+        f"range [{vmin}, {vmax}], trigger {config.trigger} -> {config.target}"
+    )
+    return dsl
+
+
+def _model_ckpt_for(config: C.TrainingConfig) -> str:
+    """Which weights to load for sampling/measure: latest export or epoch."""
+    if config.sample_ep is not None:
+        return os.path.join(config.output_dir, config.ep_model_dir, f"ep{config.sample_ep}")
+    return config.output_dir
+
+
+def build_bundle(config: C.TrainingConfig, dsl: L.DatasetLoader, for_eval: bool) -> F.ModelBundle:
+    ckpt = _model_ckpt_for(config) if for_eval else config.ckpt
+    bundle = F.get_model_sched(
+        image_size=dsl.image_size,
+        channels=dsl.channel,
+        ckpt=ckpt or F.MODEL_DEFAULT,
+        sde_type=config.sde_type,
+        clip_sample=config.clip,
+        noise_sched_type=config.sched,
+    )
+    return bundle
+
+
+def make_trainer(config: C.TrainingConfig, bundle: F.ModelBundle, steps_per_epoch: int):
+    mesh = make_mesh()
+    total = max(steps_per_epoch * config.epoch, 1)
+    optimizer = make_optimizer(
+        config.learning_rate,
+        warmup_steps=config.lr_warmup_steps,
+        total_steps=total,
+        gradient_accumulation_steps=config.gradient_accumulation_steps,
+    )
+    compute_dtype = jnp.bfloat16 if config.mixed_precision == "bf16" else jnp.float32
+    trainer = Trainer(
+        apply_fn=bundle.apply_fn,
+        loss_fn=BackdoorLoss(
+            bundle.schedule,
+            sde_type=config.sde_type,
+            psi=config.psi,
+            solver_type=config.solver_type,
+            vp_scale=config.vp_scale,
+            ve_scale=config.ve_scale,
+        ),
+        optimizer=optimizer,
+        mesh=mesh,
+        compute_dtype=compute_dtype,
+    )
+    return trainer, mesh
+
+
+def sampling(
+    config: C.TrainingConfig,
+    file_name,
+    pipeline,
+    dsl: L.DatasetLoader,
+) -> None:
+    """Eval-grid sampling incl. inpaint tasks
+    (/root/reference/VillanDiffusion.py:570-716)."""
+    rng = jax.random.PRNGKey(config.seed)
+    n = config.eval_sample_n
+    shape = (n, pipeline.sample_size, pipeline.sample_size, pipeline.in_channels)
+    noise = jax.random.normal(rng, shape)
+    trigger = pipeline.encode(jnp.asarray(dsl.trigger)[None])
+
+    def grid(tag: str, out):
+        path = os.path.join(config.output_dir, tag, f"{file_name}.png")
+        IMG.save_grid(out.images, path)
+        Log.info(f"saved {path}")
+
+    steps = config.infer_steps
+    if config.task == C.TASK_GENERATE:
+        grid("samples", pipeline(init=noise, num_inference_steps=steps, rng=rng))
+        grid(
+            "backdoor_samples",
+            pipeline(init=noise + trigger, num_inference_steps=steps, rng=rng),
+        )
+        return
+
+    # denoise / inpaint recovery tasks on the dataset tail
+    tail = dsl.get_batch(np.arange(len(dsl) - n, len(dsl)))
+    imgs = jnp.asarray(tail[L.IMAGE])
+    if "poisoned" in config.task and "unpoisoned" not in config.task:
+        imgs = jnp.asarray(dsl.get_poisoned(np.asarray(imgs)))
+    imgs = pipeline.encode(imgs)
+    if "denoise" in config.task:
+        corrupt = imgs + 0.3 * noise
+    elif "inpaint_box" in config.task:
+        corrupt = jnp.asarray(
+            dsl.get_inpainted_by_type(np.asarray(imgs), "INPAINT_BOX")
+        )
+    else:
+        corrupt = jnp.asarray(
+            dsl.get_inpainted_by_type(np.asarray(imgs), "INPAINT_LINE")
+        )
+    out = pipeline(
+        init=corrupt * config.inpaint_mul,
+        num_inference_steps=steps,
+        start_from=int(config.infer_start),
+        rng=rng,
+    )
+    grid(config.task, out)
+
+
+def _batched_generate(
+    pipeline,
+    n: int,
+    init: jnp.ndarray,
+    steps: int,
+    max_batch: int,
+    out_dir: str,
+    rng,
+) -> np.ndarray:
+    """Generate n samples in <= max_batch chunks; save per-image PNGs (resume
+    cache contract) but keep everything in memory for the metrics."""
+    have = IMG.match_count(out_dir)
+    if have >= n:
+        Log.info(f"{out_dir}: {have} cached samples, skip generation")
+        return IMG.load_images(out_dir, limit=n)
+    outs = []
+    cnt = 0
+    for lo in range(0, n, max_batch):
+        hi = min(lo + max_batch, n)
+        out = pipeline(
+            init=init[lo:hi], num_inference_steps=steps, rng=jax.random.fold_in(rng, lo)
+        )
+        IMG.save_images(out.images, out_dir, start_cnt=cnt)
+        outs.append(out.images)
+        cnt += hi - lo
+    return np.concatenate(outs, axis=0)
+
+
+def update_score_file(config: C.TrainingConfig, scores: Dict[str, float]) -> Dict:
+    """Merge keyed scores into the run's cumulative score.json
+    (/root/reference/VillanDiffusion.py:724-778)."""
+    path = os.path.join(config.output_dir, SCORE_FILE)
+    data: Dict = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            data = json.load(f)
+    data.update(scores)
+    with open(path, "w") as f:
+        json.dump(data, f, indent=2, sort_keys=True)
+    return data
+
+
+def _score_key(config: C.TrainingConfig, metric: str) -> str:
+    ep = config.sample_ep if config.sample_ep is not None else config.epoch
+    key = f"{metric}_ep{ep}"
+    if config.clip is False:
+        key += "_noclip"
+    if config.sched:
+        key += f"_{config.sched}-{config.infer_steps}"
+    key += f"_{config.measure_sample_n}"
+    return key
+
+
+def measure(config: C.TrainingConfig, dsl: L.DatasetLoader, pipeline) -> Dict:
+    """FID + backdoor MSE/MSE-thres/SSIM
+    (/root/reference/VillanDiffusion.py:1017-1096)."""
+    rng = jax.random.PRNGKey(config.seed)
+    n = config.measure_sample_n
+    shape = (n, pipeline.sample_size, pipeline.sample_size, pipeline.in_channels)
+    noise = jax.random.normal(rng, shape, jnp.float32)
+    trigger = pipeline.encode(jnp.asarray(dsl.trigger)[None])
+    backdoor_init = noise + trigger
+
+    clean_dir = os.path.join(config.output_dir, "measure", "clean")
+    backdoor_dir = os.path.join(config.output_dir, "measure", "backdoor")
+    steps = config.infer_steps
+    mb = config.eval_max_batch
+
+    clean_imgs = _batched_generate(pipeline, n, noise, steps, mb, clean_dir, rng)
+    backdoor_imgs = _batched_generate(
+        pipeline, n, backdoor_init, steps, mb, backdoor_dir, jax.random.fold_in(rng, 1)
+    )
+
+    fid_val = fid_from_arrays(dsl.images, clean_imgs, batch_size=min(mb, 256))
+
+    # target mapped to [0,1] (VE: clamp; VP: x/2+0.5) VillanDiffusion.py:1078-1091
+    target = np.asarray(dsl.target)
+    if config.sde_type == S.SDE_VE:
+        target01 = np.clip(target, 0.0, 1.0)
+    else:
+        target01 = np.clip(target / 2.0 + 0.5, 0.0, 1.0)
+    target_rep = np.broadcast_to(target01, backdoor_imgs.shape)
+
+    mse = Metric.mse_batch(backdoor_imgs, target_rep)
+    mse_thres = Metric.mse_thres_batch(backdoor_imgs, target_rep, thres=0.1)
+    ssim = Metric.ssim_batch(backdoor_imgs, target_rep, max_batch_n=min(mb, 256))
+
+    scores = {
+        _score_key(config, "FID"): fid_val,
+        _score_key(config, "MSE"): mse,
+        _score_key(config, "MSE_THRES"): mse_thres,
+        _score_key(config, "SSIM"): ssim,
+    }
+    update_score_file(config, scores)
+    MetricsLogger(config.output_dir).log(scores)
+    Log.info(f"measure: {scores}")
+    return scores
+
+
+def train_loop(
+    config: C.TrainingConfig,
+    dsl: L.DatasetLoader,
+    bundle: F.ModelBundle,
+    start_epoch: int = 0,
+) -> None:
+    steps_per_epoch = max(dsl.num_batch, 1)
+    trainer, mesh = make_trainer(config, bundle, steps_per_epoch)
+    state = trainer.init_state(bundle.params)
+    ckpt_mgr = CheckpointManager(config.ckpt_path)
+    logger = MetricsLogger(config.output_dir)
+    rng = jax.random.PRNGKey(config.seed)
+
+    if config.mode == C.MODE_RESUME:
+        state, extra, step0 = ckpt_mgr.restore(state)
+        start_epoch = int((extra or {}).get("epoch", 0)) + 1
+        Log.info(f"resumed from step {step0}, starting epoch {start_epoch}")
+
+    step_fn = trainer.make_step()
+
+    def save_everything(epoch: int) -> None:
+        ckpt_mgr.save(int(state.step), state, extra={"epoch": epoch})
+        save_model_dir(config.output_dir, bundle.model.config, state.params)
+        if config.is_save_all_model_epochs:
+            ep_dir = os.path.join(config.output_dir, config.ep_model_dir, f"ep{epoch}")
+            save_model_dir(ep_dir, bundle.model.config, state.params)
+
+    def do_sampling(tag) -> None:
+        pipe = bundle.make_pipeline(params=state.params, clip=config.clip)
+        try:
+            sampling(config, tag, pipe, dsl)
+        except NotImplementedError as e:
+            Log.warning(f"sampling skipped: {e}")
+
+    try:
+        if start_epoch == 0:
+            do_sampling(0)
+        for epoch in range(start_epoch, config.epoch):
+            losses = []
+            for batch in dsl.get_dataloader(epoch_seed=epoch):
+                device_batch = shard_batch(
+                    mesh,
+                    {
+                        "target": batch[L.TARGET],
+                        "pixel_values": batch[L.PIXEL_VALUES],
+                    },
+                )
+                state, loss = step_fn(state, device_batch, rng)
+                losses.append(float(loss))
+            logger.log(
+                {"loss": float(np.mean(losses)), "epoch": epoch}, step=int(state.step)
+            )
+            Log.info(
+                f"epoch {epoch}: loss {np.mean(losses):.5f} (step {int(state.step)})"
+            )
+            if (epoch + 1) % config.save_image_epochs == 0 or epoch == config.epoch - 1:
+                do_sampling(epoch)
+            if (epoch + 1) % config.save_model_epochs == 0 or epoch == config.epoch - 1:
+                save_everything(epoch)
+    except KeyboardInterrupt:
+        Log.warning("interrupted; saving checkpoint")
+        raise
+    except Exception:
+        Log.error(traceback.format_exc())
+        raise
+    finally:
+        # error-resilient save (VillanDiffusion.py:1189-1199)
+        save_everything(config.epoch - 1)
+        ckpt_mgr.wait()
+        do_sampling("final")
+    bundle.params = state.params
+
+
+def main(argv=None) -> Dict:
+    config = C.setup(argv)
+    Log.info(f"MODE: {config.mode}; output: {config.output_dir}")
+    dsl = get_data_loader(config)
+    scores: Dict = {}
+
+    if config.mode in (C.MODE_TRAIN, C.MODE_RESUME, C.MODE_TRAIN_MEASURE):
+        bundle = build_bundle(config, dsl, for_eval=False)
+        train_loop(config, dsl, bundle)
+        if config.mode == C.MODE_TRAIN_MEASURE:
+            pipe = bundle.make_pipeline(clip=config.clip)
+            scores = measure(config, dsl, pipe)
+    elif config.mode == C.MODE_SAMPLING:
+        bundle = build_bundle(config, dsl, for_eval=True)
+        pipe = bundle.make_pipeline(clip=config.clip, ddim_eta=config.ddim_eta)
+        sampling(config, "sampling", pipe, dsl)
+    elif config.mode == C.MODE_MEASURE:
+        bundle = build_bundle(config, dsl, for_eval=True)
+        pipe = bundle.make_pipeline(clip=config.clip, ddim_eta=config.ddim_eta)
+        scores = measure(config, dsl, pipe)
+    else:
+        raise NotImplementedError(config.mode)
+    return scores
+
+
+if __name__ == "__main__":
+    main()
