@@ -156,6 +156,34 @@ def get_model_sched(
     vae = None
 
     fresh_cfg: Optional[UNet2DConfig] = None
+    if ckpt == "LDM-TINY-DEFAULT":  # smoke-test scale latent-diffusion stack
+        from villandiffusion_tpu.models.vae import make_random_vq
+
+        latent_size = (image_size or 32) // 4
+        fresh_cfg = UNet2DConfig(
+            in_channels=channels or 3,
+            out_channels=channels or 3,
+            sample_size=latent_size,
+            block_out_channels=(16, 32),
+            down_block_types=("DownBlock2D", "AttnDownBlock2D"),
+            up_block_types=("AttnUpBlock2D", "UpBlock2D"),
+            layers_per_block=1,
+            norm_num_groups=8,
+        )
+        vae = make_random_vq(
+            rng=jax.random.fold_in(rng, 1),
+            block_out_channels=(8, 16, 16),
+            layers_per_block=1,
+            latent_channels=channels or 3,
+            num_vq_embeddings=64,
+        )
+        model = UNet2D(fresh_cfg)
+        params = model.init_params(rng)
+        return ModelBundle(
+            model=model, params=params, schedule=_schedule_for(sde_type),
+            vae=vae, sde_type=sde_type, sched_name=noise_sched_type,
+            clip_sample=clip_sample,
+        )
     if ckpt == "UNET-TINY-DEFAULT":  # smoke-test scale model (CI / dry runs)
         fresh_cfg = UNet2DConfig(
             in_channels=channels or 3,
@@ -166,6 +194,20 @@ def get_model_sched(
             up_block_types=("AttnUpBlock2D", "UpBlock2D"),
             layers_per_block=1,
             norm_num_groups=8,
+        )
+    elif ckpt == "NCSN-TINY-DEFAULT":  # smoke-test scale VE model
+        fresh_cfg = UNet2DConfig(
+            in_channels=channels or 3,
+            out_channels=channels or 3,
+            sample_size=image_size or 32,
+            block_out_channels=(16, 32),
+            down_block_types=("SkipDownBlock2D", "AttnSkipDownBlock2D"),
+            up_block_types=("AttnSkipUpBlock2D", "SkipUpBlock2D"),
+            layers_per_block=1,
+            norm_num_groups=None,
+            time_embedding_type="fourier",
+            mid_block_scale_factor=1.41421356237,
+            downsample_padding=1,
         )
     elif ckpt in (MODEL_DEFAULT, DDPM_32_DEFAULT):
         fresh_cfg = UNet2DConfig.ddpm_32(channels or 3, image_size or 32)

@@ -231,21 +231,64 @@ def group_norm(x, groups, eps, name):
     )(x)
 
 
+def _fir_kernel() -> np.ndarray:
+    k = np.array([1.0, 3.0, 3.0, 1.0])
+    K = np.outer(k, k)
+    return K / K.sum()
+
+
+def fir_downsample(x: jnp.ndarray) -> jnp.ndarray:
+    """FIR anti-aliased 2x downsample (NCSN++ [1,3,3,1] kernel), depthwise."""
+    C = x.shape[-1]
+    K = jnp.asarray(_fir_kernel(), x.dtype)
+    kern = jnp.tile(K[:, :, None, None], (1, 1, 1, C))
+    return jax.lax.conv_general_dilated(
+        x, kern, window_strides=(2, 2), padding=[(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C,
+    )
+
+
+def fir_upsample(x: jnp.ndarray) -> jnp.ndarray:
+    """FIR 2x upsample: zero-stuff then filter with gain 4, depthwise."""
+    B, H, W, C = x.shape
+    up = jnp.zeros((B, H * 2, W * 2, C), x.dtype)
+    up = up.at[:, ::2, ::2, :].set(x)
+    K = jnp.asarray(_fir_kernel() * 4.0, x.dtype)
+    kern = jnp.tile(K[:, :, None, None], (1, 1, 1, C))
+    return jax.lax.conv_general_dilated(
+        up, kern, window_strides=(1, 1), padding=[(2, 1), (2, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C,
+    )
+
+
+def _auto_groups(channels: int, groups: Optional[int]) -> int:
+    """norm_num_groups=None (NCSN++) -> min(channels // 4, 32)."""
+    return groups if groups is not None else min(channels // 4, 32)
+
+
 class ResnetBlock(nn.Module):
     """GroupNorm-SiLU-Conv x2 with additive time conditioning, matching
-    diffusers ResnetBlock2D (default, non-scale-shift)."""
+    diffusers ResnetBlock2D (default, non-scale-shift).  ``updown`` applies
+    FIR resampling to both branches (NCSN++ resnet_up/resnet_down)."""
 
     out_channels: int
-    groups: int
+    groups: Optional[int]
     eps: float
     output_scale_factor: float = 1.0
     use_shortcut: Optional[bool] = None
+    updown: str = "none"  # "none" | "up" | "down"
 
     @nn.compact
     def __call__(self, x, temb):
         in_ch = x.shape[-1]
-        h = group_norm(x, self.groups, self.eps, "norm1")
+        h = group_norm(x, _auto_groups(in_ch, self.groups), self.eps, "norm1")
         h = nn.silu(h)
+        if self.updown == "down":
+            h = fir_downsample(h)
+            x = fir_downsample(x)
+        elif self.updown == "up":
+            h = fir_upsample(h)
+            x = fir_upsample(x)
         h = nn.Conv(
             self.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
             param_dtype=jnp.float32, name="conv1",
@@ -254,7 +297,7 @@ class ResnetBlock(nn.Module):
             nn.silu(temb)
         )
         h = h + t[:, None, None, :]
-        h = group_norm(h, self.groups, self.eps, "norm2")
+        h = group_norm(h, _auto_groups(self.out_channels, self.groups), self.eps, "norm2")
         h = nn.silu(h)
         h = nn.Conv(
             self.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
@@ -262,7 +305,7 @@ class ResnetBlock(nn.Module):
         )(h)
         use_sc = self.use_shortcut
         if use_sc is None:
-            use_sc = in_ch != self.out_channels
+            use_sc = in_ch != self.out_channels or self.updown != "none"
         if use_sc:
             x = nn.Conv(
                 self.out_channels, (1, 1), param_dtype=jnp.float32,
@@ -274,7 +317,7 @@ class ResnetBlock(nn.Module):
 class AttentionBlock(nn.Module):
     """Spatial self-attention over HxW tokens (diffusers AttentionBlock)."""
 
-    groups: int
+    groups: Optional[int]
     eps: float
     head_dim: Optional[int] = None
     rescale_output_factor: float = 1.0
@@ -283,7 +326,7 @@ class AttentionBlock(nn.Module):
     def __call__(self, x):
         B, H, W, C = x.shape
         n_heads = 1 if self.head_dim is None else max(C // self.head_dim, 1)
-        h = group_norm(x, self.groups, self.eps, "group_norm")
+        h = group_norm(x, _auto_groups(C, self.groups), self.eps, "group_norm")
         h = h.reshape(B, H * W, C)
         q = nn.Dense(C, param_dtype=jnp.float32, name="query")(h)
         k = nn.Dense(C, param_dtype=jnp.float32, name="key")(h)
@@ -345,7 +388,7 @@ class UNet2D(nn.Module):
         cfg = self.config
         block_out = cfg.block_out_channels
         time_embed_dim = block_out[0] * 4
-        groups = cfg.norm_num_groups if cfg.norm_num_groups is not None else 32
+        groups = cfg.norm_num_groups  # None -> per-block min(ch//4, 32)
 
         if cfg.center_input_sample:
             x = 2.0 * x - 1.0
@@ -359,7 +402,7 @@ class UNet2D(nn.Module):
             )
         elif cfg.time_embedding_type == "fourier":
             temb = GaussianFourierProjection(
-                embedding_size=block_out[0] // 2, name="time_proj"
+                embedding_size=block_out[0], name="time_proj"
             )(timesteps)
         else:
             raise NotImplementedError(cfg.time_embedding_type)
@@ -374,18 +417,18 @@ class UNet2D(nn.Module):
         )(x)
 
         skips = [h]
+        skip_sample = x  # NCSN++ input pyramid
         # --- down path ---
         for i, btype in enumerate(cfg.down_block_types):
             out_ch = block_out[i]
             is_final = i == len(block_out) - 1
             attn = "Attn" in btype
-            if "Skip" in btype:
-                raise NotImplementedError(
-                    "NCSN++ Skip blocks land with the VE milestone"
-                )
+            is_skip = "Skip" in btype
+            scale = np.sqrt(2.0) if is_skip else 1.0
             for j in range(cfg.layers_per_block):
                 h = ResnetBlock(
                     out_channels=out_ch, groups=groups, eps=cfg.norm_eps,
+                    output_scale_factor=scale,
                     name=f"down_{i}_res_{j}",
                 )(h, temb)
                 if attn:
@@ -396,9 +439,23 @@ class UNet2D(nn.Module):
                     )(h)
                 skips.append(h)
             if not is_final:
-                h = Downsample(
-                    out_ch, padding=cfg.downsample_padding, name=f"down_{i}_downsample"
-                )(h)
+                if is_skip:
+                    # FIR resnet-downsample + input-pyramid combiner
+                    h = ResnetBlock(
+                        out_channels=out_ch, groups=groups, eps=cfg.norm_eps,
+                        output_scale_factor=scale, updown="down",
+                        name=f"down_{i}_resnet_down",
+                    )(h, temb)
+                    skip_sample = fir_downsample(skip_sample)
+                    h = h + nn.Conv(
+                        out_ch, (3, 3), padding=[(1, 1), (1, 1)],
+                        param_dtype=jnp.float32, name=f"down_{i}_skip_conv",
+                    )(skip_sample)
+                else:
+                    h = Downsample(
+                        out_ch, padding=cfg.downsample_padding,
+                        name=f"down_{i}_downsample",
+                    )(h)
                 skips.append(h)
 
         # --- mid ---
@@ -418,19 +475,19 @@ class UNet2D(nn.Module):
 
         # --- up path ---
         rev_out = list(reversed(block_out))
+        out_pyramid = None  # NCSN++ output pyramid (image space)
         for i, btype in enumerate(cfg.up_block_types):
             out_ch = rev_out[i]
             is_final = i == len(block_out) - 1
             attn = "Attn" in btype
-            if "Skip" in btype:
-                raise NotImplementedError(
-                    "NCSN++ Skip blocks land with the VE milestone"
-                )
+            is_skip = "Skip" in btype
+            scale = np.sqrt(2.0) if is_skip else 1.0
             for j in range(cfg.layers_per_block + 1):
                 skip = skips.pop()
                 h = jnp.concatenate([h, skip], axis=-1)
                 h = ResnetBlock(
                     out_channels=out_ch, groups=groups, eps=cfg.norm_eps,
+                    output_scale_factor=scale,
                     name=f"up_{i}_res_{j}",
                 )(h, temb)
                 if attn:
@@ -439,16 +496,44 @@ class UNet2D(nn.Module):
                         head_dim=cfg.attention_head_dim,
                         name=f"up_{i}_attn_{j}",
                     )(h)
-            if not is_final:
+            if is_skip:
+                # accumulate the output pyramid at this resolution
+                if out_pyramid is not None:
+                    out_pyramid = fir_upsample(out_pyramid)
+                s = group_norm(
+                    h, _auto_groups(out_ch, groups), cfg.norm_eps,
+                    f"up_{i}_skip_norm",
+                )
+                s = nn.silu(s)
+                s = nn.Conv(
+                    cfg.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
+                    param_dtype=jnp.float32, name=f"up_{i}_skip_conv",
+                )(s)
+                out_pyramid = s if out_pyramid is None else out_pyramid + s
+                if not is_final:
+                    h = ResnetBlock(
+                        out_channels=out_ch, groups=groups, eps=cfg.norm_eps,
+                        output_scale_factor=scale, updown="up",
+                        name=f"up_{i}_resnet_up",
+                    )(h, temb)
+            elif not is_final:
                 h = Upsample(out_ch, name=f"up_{i}_upsample")(h)
 
         # --- out ---
-        h = group_norm(h, groups, cfg.norm_eps, "norm_out")
+        h = group_norm(h, _auto_groups(h.shape[-1], groups), cfg.norm_eps, "norm_out")
         h = nn.silu(h)
         h = nn.Conv(
             cfg.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
             param_dtype=jnp.float32, name="conv_out",
         )(h)
+        if out_pyramid is not None:
+            h = h + out_pyramid
+        if cfg.time_embedding_type == "fourier":
+            # score parameterization: divide by sigma (diffusers UNet2DModel
+            # fourier epilogue); the VE loss supervises -output*sigma
+            h = h / timesteps.astype(h.dtype).reshape(
+                (-1,) + (1,) * (h.ndim - 1)
+            )
         return h
 
     def init_params(self, rng: jax.Array, batch: int = 1):
