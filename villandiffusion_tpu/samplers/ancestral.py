@@ -10,13 +10,14 @@ Both implement optional per-step x0 clipping (clip_sample/clip_sample_range,
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from villandiffusion_tpu.core.schedules import VPSchedule
+from villandiffusion_tpu.samplers.base import Sampler
 
 
 def _leading(x: jnp.ndarray, like: jnp.ndarray) -> jnp.ndarray:
@@ -24,12 +25,10 @@ def _leading(x: jnp.ndarray, like: jnp.ndarray) -> jnp.ndarray:
 
 
 @dataclasses.dataclass(frozen=True)
-class _VPBase:
-    schedule: VPSchedule
+class _VPBase(Sampler):
+    schedule: VPSchedule = None
     clip_sample: bool = False
     clip_sample_range: float = 1.0
-
-    conditioning = "timestep"
 
     def timesteps(self, num_inference_steps: int) -> np.ndarray:
         T = self.schedule.timesteps
@@ -44,36 +43,30 @@ class _VPBase:
             x0 = jnp.clip(x0, -self.clip_sample_range, self.clip_sample_range)
         return x0
 
-    def init_latent_scale(self) -> float:
-        return 1.0
-
-    def init_carry(self, x, num_inference_steps):
-        return ()
-
-
-@dataclasses.dataclass(frozen=True)
-class DDPMSampler(_VPBase):
-    stochastic: bool = True
-
-    def step(
-        self, x, eps, i, carry, rng, num_inference_steps
-    ) -> Tuple[jnp.ndarray, Any]:
+    def _ab_pair(self, i, x, num_inference_steps):
         ts = jnp.asarray(self.timesteps(num_inference_steps))
         t = ts[i]
-        T = self.schedule.timesteps
-        prev_t = t - T // num_inference_steps
-
+        prev_t = t - self.schedule.timesteps // num_inference_steps
         ab = jnp.asarray(self.schedule.alphas_cumprod, x.dtype)
         ab_t = _leading(ab[t][None], x)
         ab_prev = _leading(
             jnp.where(prev_t >= 0, ab[jnp.maximum(prev_t, 0)], 1.0)[None], x
         )
+        return t, ab_t, ab_prev
+
+
+@dataclasses.dataclass(frozen=True)
+class DDPMSampler(_VPBase):
+    def step(
+        self, x, i, carry, rng, eval_model, num_inference_steps
+    ) -> Tuple[jnp.ndarray, Any]:
+        eps = eval_model(x, i)
+        t, ab_t, ab_prev = self._ab_pair(i, x, num_inference_steps)
         beta_prod = 1.0 - ab_t
         cur_alpha = ab_t / ab_prev
         cur_beta = 1.0 - cur_alpha
 
         x0 = self._pred_x0(x, eps, ab_t)
-        # posterior mean q(x_{t-1} | x_t, x0)
         coef_x0 = jnp.sqrt(ab_prev) * cur_beta / beta_prod
         coef_xt = jnp.sqrt(cur_alpha) * (1.0 - ab_prev) / beta_prod
         mean = coef_x0 * x0 + coef_xt * x
@@ -87,21 +80,12 @@ class DDPMSampler(_VPBase):
 @dataclasses.dataclass(frozen=True)
 class DDIMSampler(_VPBase):
     eta: float = 0.0
-    stochastic: bool = True  # only when eta > 0, but rng is always threaded
 
     def step(
-        self, x, eps, i, carry, rng, num_inference_steps
+        self, x, i, carry, rng, eval_model, num_inference_steps
     ) -> Tuple[jnp.ndarray, Any]:
-        ts = jnp.asarray(self.timesteps(num_inference_steps))
-        t = ts[i]
-        T = self.schedule.timesteps
-        prev_t = t - T // num_inference_steps
-
-        ab = jnp.asarray(self.schedule.alphas_cumprod, x.dtype)
-        ab_t = _leading(ab[t][None], x)
-        ab_prev = _leading(
-            jnp.where(prev_t >= 0, ab[jnp.maximum(prev_t, 0)], 1.0)[None], x
-        )
+        eps = eval_model(x, i)
+        _, ab_t, ab_prev = self._ab_pair(i, x, num_inference_steps)
 
         x0 = self._pred_x0(x, eps, ab_t)
         # recompute eps from (possibly clipped) x0 as diffusers does

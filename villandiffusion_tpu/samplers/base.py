@@ -15,7 +15,9 @@ Contract parity with the reference's forked-diffusers pipelines
 
 TPU-first: the full denoise loop is ONE jitted scan per (shape, steps)
 combination — no per-step Python dispatch, no host sync until the final
-device->host copy.
+device->host copy.  Samplers own their model evaluations inside the scan
+body (multi-eval solvers: Heun, PNDM's Runge-Kutta warmup, predictor-
+corrector VE), so any solver order fits the same compiled structure.
 """
 
 from __future__ import annotations
@@ -30,37 +32,39 @@ import numpy as np
 
 
 class Sampler:
-    """Interface: subclasses provide timestep ladders and the update rule."""
-
-    #: True if the solver injects fresh noise each step (needs rng in scan).
-    stochastic: bool = False
-    #: model conditioning: "timestep" (VP) or "sigma" (VE)
-    conditioning: str = "timestep"
+    """Interface: timestep ladder + conditioning + the scan-step update."""
 
     def timesteps(self, num_inference_steps: int) -> np.ndarray:
-        """Descending array of model timesteps (int) for the denoise loop."""
+        """Descending array of model timesteps; its length is the number of
+        scan iterations (may exceed num_inference_steps for multi-phase
+        solvers)."""
         raise NotImplementedError
 
+    def cond(self, i: jnp.ndarray, batch: int, num_inference_steps: int) -> jnp.ndarray:
+        """Model conditioning for scan index i: (B,) timesteps for VP models,
+        (B,) sigmas for VE models."""
+        ts = jnp.asarray(self.timesteps(num_inference_steps))
+        return jnp.broadcast_to(ts[i], (batch,))
+
     def init_latent_scale(self) -> float:
-        """Multiplier applied to the unit-gaussian initial latent (1.0 for VP,
-        sigma_max for VE / Karras)."""
+        """Multiplier on the unit-gaussian initial latent (sigma_max for VE)."""
         return 1.0
 
-    def init_carry(self, x: jnp.ndarray, num_inference_steps: int):
-        """Extra solver state threaded through the scan (history buffers for
-        multistep solvers). Default: none."""
+    def init_carry(self, x: jnp.ndarray, num_inference_steps: int) -> Any:
+        """Solver state threaded through the scan (history buffers etc.)."""
         return ()
 
     def step(
         self,
         x: jnp.ndarray,
-        eps: jnp.ndarray,
         i: jnp.ndarray,
         carry: Any,
-        rng: Optional[jax.Array],
+        rng: jax.Array,
+        eval_model: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
         num_inference_steps: int,
     ) -> Tuple[jnp.ndarray, Any]:
-        """One solver update: (x_i, eps_pred, step index i, carry) -> x_{i+1}."""
+        """One scan iteration. ``eval_model(x, i)`` runs the UNet with the
+        conditioning for scan index i."""
         raise NotImplementedError
 
 
@@ -117,30 +121,31 @@ class DiffusionPipeline:
     @functools.lru_cache(maxsize=32)
     def _compiled_run(self, num_inference_steps: int, start_from: int, save_every_step: bool):
         sampler = self.sampler
-        ts = sampler.timesteps(num_inference_steps)
+        n_iters = len(sampler.timesteps(num_inference_steps))
 
         def run(params, x, rng):
             carry0 = sampler.init_carry(x, num_inference_steps)
-            idxs = jnp.arange(start_from, len(ts))
+            idxs = jnp.arange(start_from, n_iters)
 
             def body(state, i):
                 x, carry, key = state
                 key, sub = jax.random.split(key)
-                t = jnp.asarray(ts)[i]
-                if sampler.conditioning == "sigma":
-                    cond = sampler.cond_value(i)
-                else:
-                    cond = jnp.broadcast_to(t, (x.shape[0],))
-                eps = self.apply_fn(params, x, cond)
+
+                def eval_model(xx, ii):
+                    cond = sampler.cond(ii, xx.shape[0], num_inference_steps)
+                    return self.apply_fn(params, xx, cond)
+
+                # raw-conditioning escape hatch (EDM churn needs sigma_hat
+                # values that aren't on the ladder)
+                eval_model.raw = lambda xx, cond: self.apply_fn(params, xx, cond)
+
                 x_next, carry = sampler.step(
-                    x, eps, i, carry, sub, num_inference_steps
+                    x, i, carry, sub, eval_model, num_inference_steps
                 )
                 y = self._to_images(x_next) if save_every_step else jnp.zeros((0,))
                 return (x_next, carry, key), y
 
-            (x_final, _, _), ys = jax.lax.scan(
-                body, (x, carry0, rng), idxs
-            )
+            (x_final, _, _), ys = jax.lax.scan(body, (x, carry0, rng), idxs)
             return self._to_images(x_final), ys
 
         return jax.jit(run)
@@ -163,15 +168,14 @@ class DiffusionPipeline:
             self._compiled_run.cache_clear()
         if init is None:
             rng, sub = jax.random.split(rng)
-            init = (
-                jax.random.normal(
-                    sub,
-                    (batch_size, self.sample_size, self.sample_size, self.channels),
-                )
-                * self.sampler.init_latent_scale()
+            init = jax.random.normal(
+                sub,
+                (batch_size, self.sample_size, self.sample_size, self.channels),
             )
-        else:
-            init = jnp.asarray(init)
+        # diffusers convention: latents (generated OR user-provided) are
+        # scaled by the scheduler's init_noise_sigma (1.0 for the VP family,
+        # so backdoor `noise + trigger` inits are unaffected there).
+        init = jnp.asarray(init) * self.sampler.init_latent_scale()
         run = self._compiled_run(int(num_inference_steps), int(start_from), bool(save_every_step))
         images, ys = run(self.params, init, rng)
         images = np.asarray(jax.device_get(images))

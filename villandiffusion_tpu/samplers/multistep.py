@@ -1,11 +1,370 @@
-"""Multistep solver family (DPM-Solver/++ O1-3, UniPC, PNDM, DEIS, Heun,
-LMSD) — placeholder registry; implementations land with the sampler-family
-milestone (SURVEY.md §7 stage 6)."""
+"""Multistep exponential-integrator solvers: DPM-Solver, DPM-Solver++,
+DEIS, UniPC — all orders as fixed-size-history `lax.scan` steps.
+
+Semantics follow the diffusers multistep schedulers the reference factory
+wires (/root/reference/model.py:620-646): timestep ladder
+``linspace(0, T-1, S+1).round()[::-1][:-1]``, terminal step targets t=0,
+order warmup ``min(order, i+1)`` and lower-order-final tail when S < 15.
+
+Math (lambda = log(alpha/sigma), h = lambda_next - lambda_cur > 0):
+
+- DPM-Solver (eps space):    x' = (a_n/a_c) x - s_n (e^h - 1) D0 - ...
+- DPM-Solver++ (x0 space):   x' = (s_n/s_c) x - a_n (e^{-h} - 1) D0 - ...
+  with backward-difference D1/D2 from the model-output history.
+- DEIS: x0-space exponential integrator with Lagrange interpolation of
+  x0(lambda) over the history (logrho formulation; exact integrating-factor
+  kernel), reducing to DPM-Solver++ O1 at order 1.
+- UniPC: unified predictor-corrector (bh2), x0-prediction form; the
+  corrector reuses the current model eval (no extra UNet call).
+
+The order schedule per scan index is STATIC (precomputed on host), so each
+scan step lax.switch-es between order-specialized branches — no dynamic
+shapes, one compiled scan for the whole denoise loop.
+"""
 
 from __future__ import annotations
 
+import dataclasses
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from villandiffusion_tpu.core.schedules import VPSchedule
+from villandiffusion_tpu.samplers.base import Sampler
+
+ALGO_DPM = "dpmsolver"
+ALGO_DPMPP = "dpmsolver++"
+ALGO_DEIS = "deis"
+ALGO_UNIPC = "unipc"
+
+
+def _order_schedule(S: int, solver_order: int, lower_order_final: bool = True) -> np.ndarray:
+    orders = []
+    for i in range(S):
+        o = solver_order
+        if lower_order_final and S < 15:
+            o = min(o, S - i)
+        o = min(o, i + 1)
+        orders.append(o)
+    return np.asarray(orders, np.int32)
+
+
+@dataclasses.dataclass(frozen=True)
+class MultistepSampler(Sampler):
+    schedule: VPSchedule = None
+    algorithm: str = ALGO_DPMPP
+    solver_order: int = 2
+    clip_sample: bool = False
+    clip_sample_range: float = 1.0
+    lower_order_final: bool = True
+
+    # ---- ladders -----------------------------------------------------------
+    def timesteps(self, num_inference_steps: int) -> np.ndarray:
+        T = self.schedule.timesteps
+        return (
+            np.linspace(0, T - 1, num_inference_steps + 1)
+            .round()[::-1][:-1]
+            .astype(np.int64)
+        )
+
+    def _positions(self, S: int) -> np.ndarray:
+        """Extended ladder: scan position j in [0..S]; j=S is the terminal
+        timestep 0 (finite lambda, diffusers 0.x prev_timestep convention)."""
+        ts = self.timesteps(S)
+        return np.concatenate([ts, [0]])
+
+    def _lad(self, S: int):
+        pos = self._positions(S)
+        ab = self.schedule.alphas_cumprod[pos]
+        alpha = np.sqrt(ab)
+        sigma = np.sqrt(1.0 - ab)
+        lam = np.log(alpha) - np.log(sigma)
+        return (
+            jnp.asarray(alpha, jnp.float32),
+            jnp.asarray(sigma, jnp.float32),
+            jnp.asarray(lam, jnp.float32),
+        )
+
+    # ---- model-output conversion ------------------------------------------
+    def _convert(self, x, eps, alpha_t, sigma_t):
+        """eps -> solver space (x0 for ++/deis/unipc, eps for dpmsolver)."""
+        if self.algorithm == ALGO_DPM:
+            return eps
+        x0 = (x - sigma_t * eps) / alpha_t
+        if self.clip_sample:
+            x0 = jnp.clip(x0, -self.clip_sample_range, self.clip_sample_range)
+        return x0
+
+    def init_carry(self, x, num_inference_steps):
+        zeros = jnp.zeros_like(x)
+        return {"m1": zeros, "m2": zeros, "last_x": zeros}
+
+    # ---- updates -----------------------------------------------------------
+    def _dpm_update(self, order, x, m0, m1, m2, lam, alpha, sigma, i):
+        """DPM-Solver / DPM-Solver++ multistep update from position i to i+1."""
+        a_n, s_n = alpha[i + 1], sigma[i + 1]
+        a_c, s_c = alpha[i], sigma[i]
+        h = lam[i + 1] - lam[i]
+        h0 = lam[i] - lam[jnp.maximum(i - 1, 0)]
+        h1 = lam[jnp.maximum(i - 1, 0)] - lam[jnp.maximum(i - 2, 0)]
+        r0 = h0 / h
+        r1 = h1 / h
+        D0 = m0
+        D1_0 = (m0 - m1) / r0
+        D1_1 = (m1 - m2) / r1
+        D1 = D1_0 + (r0 / (r0 + r1)) * (D1_0 - D1_1)
+        D2 = (D1_0 - D1_1) / (r0 + r1)
+
+        if self.algorithm == ALGO_DPMPP:
+            em = jnp.expm1(-h)
+
+            def o1():
+                return (s_n / s_c) * x - a_n * em * D0
+
+            def o2():
+                return o1() - 0.5 * a_n * em * D1_0
+
+            def o3():
+                return (
+                    (s_n / s_c) * x
+                    - a_n * em * D0
+                    + a_n * (em / h + 1.0) * D1
+                    - a_n * ((em + h) / (h * h) - 0.5) * D2
+                )
+        else:
+            ep = jnp.expm1(h)
+
+            def o1():
+                return (a_n / a_c) * x - s_n * ep * D0
+
+            def o2():
+                return o1() - 0.5 * s_n * ep * D1_0
+
+            def o3():
+                return (
+                    (a_n / a_c) * x
+                    - s_n * ep * D0
+                    - s_n * (ep / h - 1.0) * D1
+                    - s_n * ((ep - h) / (h * h) - 0.5) * D2
+                )
+
+        return jax.lax.switch(order - 1, [o1, o2, o3])
+
+    def _deis_update(self, order, x, m0, m1, m2, lam, alpha, sigma, i):
+        """x0-space exponential integrator with log-rho Lagrange interpolation.
+
+        y = x/alpha, rho = sigma/alpha = e^{-lambda}:
+          d(y/rho)/drho = -x0(rho)/rho^2
+        => y_n/rho_n = y_c/rho_c - sum_k m_k * I_k,
+           I_k = int_{rho_c}^{rho_n} L_k(log rho) rho^{-2} drho (closed form).
+        Order 1 reduces exactly to DPM-Solver++ O1.
+        """
+        a_n, s_n = alpha[i + 1], sigma[i + 1]
+        a_c, s_c = alpha[i], sigma[i]
+        # work in u = log rho = -lambda
+        u_n, u_c = -lam[i + 1], -lam[i]
+        u_1 = -lam[jnp.maximum(i - 1, 0)]
+        u_2 = -lam[jnp.maximum(i - 2, 0)]
+
+        # int e^{-u} du kernels: I(f) = int_{u_c}^{u_n} f(u) e^{-u} du
+        def k0(ua, ub):  # f = 1
+            return jnp.exp(-ua) - jnp.exp(-ub)
+
+        def k1(ua, ub, c):  # f = (u - c)
+            f = lambda u: -(u - c) * jnp.exp(-u) - jnp.exp(-u)
+            return f(ub) - f(ua)
+
+        def k2(ua, ub, c1, c2):  # f = (u - c1)(u - c2)
+            f = lambda u: -jnp.exp(-u) * ((u - c1) * (u - c2) + (2 * u - c1 - c2) + 2)
+            return f(ub) - f(ua)
+
+        def o1():
+            I0 = k0(u_c, u_n)
+            return (s_n / s_c) * x - a_n * jnp.exp(u_n) * I0 * m0
+
+        def o2():
+            d0 = u_c - u_1
+            I0 = k1(u_c, u_n, u_1) / d0
+            I1 = k1(u_c, u_n, u_c) / (u_1 - u_c)
+            return (s_n / s_c) * x - a_n * jnp.exp(u_n) * (I0 * m0 + I1 * m1)
+
+        def o3():
+            l0 = k2(u_c, u_n, u_1, u_2) / ((u_c - u_1) * (u_c - u_2))
+            l1 = k2(u_c, u_n, u_c, u_2) / ((u_1 - u_c) * (u_1 - u_2))
+            l2 = k2(u_c, u_n, u_c, u_1) / ((u_2 - u_c) * (u_2 - u_1))
+            return (s_n / s_c) * x - a_n * jnp.exp(u_n) * (
+                l0 * m0 + l1 * m1 + l2 * m2
+            )
+
+        return jax.lax.switch(order - 1, [o1, o2, o3])
+
+    # ---- scan step ---------------------------------------------------------
+    def step(self, x, i, carry, rng, eval_model, num_inference_steps):
+        S = num_inference_steps
+        alpha, sigma, lam = self._lad(S)
+        orders = jnp.asarray(
+            _order_schedule(S, self.solver_order, self.lower_order_final)
+        )
+        eps = eval_model(x, i)
+        m0 = self._convert(x, eps, alpha[i], sigma[i])
+        order = orders[i]
+        x_next = self._update(order, x, m0, carry["m1"], carry["m2"], lam, alpha, sigma, i)
+        new_carry = {"m1": m0, "m2": carry["m1"], "last_x": x}
+        return x_next, new_carry
+
+    def _update(self, order, x, m0, m1, m2, lam, alpha, sigma, i):
+        if self.algorithm in (ALGO_DPM, ALGO_DPMPP):
+            return self._dpm_update(order, x, m0, m1, m2, lam, alpha, sigma, i)
+        if self.algorithm == ALGO_DEIS:
+            return self._deis_update(order, x, m0, m1, m2, lam, alpha, sigma, i)
+        raise NotImplementedError(self.algorithm)
+
+
+@dataclasses.dataclass(frozen=True)
+class UniPCSampler(MultistepSampler):
+    """UniPC (bh2, x0-prediction) predictor with a UniC corrector that reuses
+    the current model eval (one UNet call per step)."""
+
+    algorithm: str = ALGO_UNIPC
+    solver_order: int = 2
+
+    def _phi_terms(self, h):
+        """b coefficients for bh2: b_i = h_phi_{i} * i! / B_h."""
+        hh = -h  # predict_x0 space
+        h_phi_1 = jnp.expm1(hh)
+        B_h = jnp.expm1(hh)  # bh2
+        bs = []
+        h_phi_k = h_phi_1 / hh - 1.0
+        fact = 1.0
+        for i in range(1, 4):
+            bs.append(h_phi_k * fact / B_h)
+            fact *= i + 1
+            h_phi_k = h_phi_k / hh - 1.0 / fact
+        return h_phi_1, B_h, bs  # bs[i] for row i+1
+
+    def _unip(self, order, x, m0, m1, m2, lam, alpha, sigma, i):
+        """Predictor from position i to i+1 (history m1/m2 at i-1/i-2)."""
+        a_n, s_n = alpha[i + 1], sigma[i + 1]
+        s_c = sigma[i]
+        h = lam[i + 1] - lam[i]
+        h_phi_1, B_h, bs = self._phi_terms(h)
+        x_t_ = (s_n / s_c) * x - a_n * h_phi_1 * m0
+
+        def o1():
+            return x_t_
+
+        def o2():
+            rk1 = (lam[jnp.maximum(i - 1, 0)] - lam[i]) / h
+            D1_1 = (m1 - m0) / rk1
+            return x_t_ - a_n * B_h * 0.5 * D1_1
+
+        def o3():
+            rk1 = (lam[jnp.maximum(i - 1, 0)] - lam[i]) / h
+            rk2 = (lam[jnp.maximum(i - 2, 0)] - lam[i]) / h
+            D1_1 = (m1 - m0) / rk1
+            D1_2 = (m2 - m0) / rk2
+            # solve R[:-1,:-1] rhos = b[:-1]: rows (rk^0), (rk^1) over [rk1, rk2]
+            R = jnp.stack(
+                [jnp.stack([rk1**0, rk2**0]), jnp.stack([rk1, rk2])]
+            )
+            b = jnp.stack([bs[0], bs[1]])
+            rhos = jnp.linalg.solve(R, b)
+            return x_t_ - a_n * B_h * (rhos[0] * D1_1 + rhos[1] * D1_2)
+
+        return jax.lax.switch(order - 1, [o1, o2, o3])
+
+    def _unic(self, order, last_x, this_x, m_t, m0, m1, lam, alpha, sigma, i):
+        """Corrector of this_x (the sample at position i) using the model eval
+        m_t at position i; s0 is position i-1."""
+        a_t, s_t = alpha[i], sigma[i]
+        s_s0 = sigma[jnp.maximum(i - 1, 0)]
+        h = lam[i] - lam[jnp.maximum(i - 1, 0)]
+        h_phi_1, B_h, bs = self._phi_terms(h)
+        x_t_ = (s_t / s_s0) * last_x - a_t * h_phi_1 * m0
+        D1_t = m_t - m0
+
+        def o1():
+            return x_t_ - a_t * B_h * 0.5 * D1_t
+
+        def o2():
+            rk1 = (lam[jnp.maximum(i - 2, 0)] - lam[jnp.maximum(i - 1, 0)]) / h
+            D1_1 = (m1 - m0) / rk1
+            R = jnp.stack([jnp.stack([rk1**0, 1.0]), jnp.stack([rk1, 1.0])])
+            b = jnp.stack([bs[0], bs[1]])
+            rhos = jnp.linalg.solve(R, b)
+            return x_t_ - a_t * B_h * (rhos[0] * D1_1 + rhos[1] * D1_t)
+
+        def o3():
+            rk1 = (lam[jnp.maximum(i - 2, 0)] - lam[jnp.maximum(i - 1, 0)]) / h
+            rk2 = (lam[jnp.maximum(i - 3, 0)] - lam[jnp.maximum(i - 1, 0)]) / h
+            D1_1 = (m1 - m0) / rk1
+            # note: order-3 corrector needs m2 history; approximated by D1_1
+            R = jnp.stack([jnp.stack([rk1**0, 1.0]), jnp.stack([rk1, 1.0])])
+            b = jnp.stack([bs[0], bs[1]])
+            rhos = jnp.linalg.solve(R, b)
+            return x_t_ - a_t * B_h * (rhos[0] * D1_1 + rhos[1] * D1_t)
+
+        return jax.lax.switch(order - 1, [o1, o2, o3])
+
+    def step(self, x, i, carry, rng, eval_model, num_inference_steps):
+        S = num_inference_steps
+        alpha, sigma, lam = self._lad(S)
+        orders = jnp.asarray(
+            _order_schedule(S, self.solver_order, self.lower_order_final)
+        )
+        eps = eval_model(x, i)
+        m_t = self._convert(x, eps, alpha[i], sigma[i])
+        order = orders[i]
+
+        # corrector (skip at i == 0); its usable history is one step shorter
+        # than the predictor's, so it runs at the previous step's order
+        corr_order = orders[jnp.maximum(i - 1, 0)]
+        corrected = self._unic(
+            corr_order, carry["last_x"], x, m_t, carry["m1"], carry["m2"],
+            lam, alpha, sigma, i,
+        )
+        x_c = jnp.where(i > 0, corrected, x)
+
+        x_next = self._unip(order, x_c, m_t, carry["m1"], carry["m2"], lam, alpha, sigma, i)
+        new_carry = {"m1": m_t, "m2": carry["m1"], "last_x": x_c}
+        return x_next, new_carry
+
+    def _convert(self, x, eps, alpha_t, sigma_t):
+        x0 = (x - sigma_t * eps) / alpha_t
+        if self.clip_sample:
+            x0 = jnp.clip(x0, -self.clip_sample_range, self.clip_sample_range)
+        return x0
+
 
 def make_sampler(name: str, schedule, clip_sample):
-    raise NotImplementedError(
-        f"Sampler {name!r} is not implemented yet (sampler-family milestone)."
-    )
+    clip = bool(clip_sample) if clip_sample is not None else False
+    table = {
+        "DPM_SOLVER_PP_O1-SCHED": (MultistepSampler, ALGO_DPMPP, 1),
+        "DPM_SOLVER_O1-SCHED": (MultistepSampler, ALGO_DPM, 1),
+        "DPM_SOLVER_PP_O2-SCHED": (MultistepSampler, ALGO_DPMPP, 2),
+        "DPM_SOLVER_O2-SCHED": (MultistepSampler, ALGO_DPM, 2),
+        "DPM_SOLVER_PP_O3-SCHED": (MultistepSampler, ALGO_DPMPP, 3),
+        "DPM_SOLVER_O3-SCHED": (MultistepSampler, ALGO_DPM, 3),
+        "DEIS-SCHED": (MultistepSampler, ALGO_DEIS, 2),
+        "UNIPC-SCHED": (UniPCSampler, ALGO_UNIPC, 2),
+    }
+    if name in table:
+        cls, algo, order = table[name]
+        return cls(
+            schedule=schedule,
+            algorithm=algo,
+            solver_order=order,
+            clip_sample=clip,
+        )
+    if name == "PNDM-SCHED":
+        from villandiffusion_tpu.samplers.pndm import PNDMSampler
+
+        return PNDMSampler(schedule=schedule, clip_sample=clip)
+    if name in ("HEUN-SCHED", "LMSD-SCHED"):
+        from villandiffusion_tpu.samplers.kdiff import HeunSampler, LMSDSampler
+
+        cls = HeunSampler if name == "HEUN-SCHED" else LMSDSampler
+        return cls(schedule=schedule)
+    raise NotImplementedError(f"Sampler {name!r} is not implemented.")
