@@ -1,0 +1,206 @@
+"""Conditional (SD+LoRA) path tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from villandiffusion_tpu.data import caption_loader as CL
+from villandiffusion_tpu.models.text import make_tiny_text_encoder
+from villandiffusion_tpu.models.unet2d_condition import (
+    UNet2DCondition,
+    UNet2DConditionConfig,
+    lora_mask,
+    split_lora_params,
+    merge_lora_params,
+)
+
+
+class TestCaptionBackdoor:
+    def test_trigger_table(self):
+        assert CL.CaptionBackdoor.get_trigger("TRIGGER_SKS") == "sks"
+        assert CL.CaptionBackdoor.get_trigger("TRIGGER_LATTE_COFFEE") == "latte coffee"
+        assert CL.CaptionBackdoor.get_trigger("TRIGGER_NONE") == ""
+        assert CL.CaptionBackdoor.get_trigger(None) == ""
+        with pytest.raises(NotImplementedError):
+            CL.CaptionBackdoor.get_trigger("TRIGGER_NOPE")
+
+    def test_insert_trigger_at_end_region(self):
+        import random
+
+        txt = "a b c d e"
+        out = CL.CaptionBackdoor.insert_trigger(
+            txt, "sks", -3, -1, random.Random(0)
+        )
+        words = out.split()
+        assert "sks" in words and len(words) == 6
+        assert words.index("sks") >= 3  # inserted within the last 2 slots
+
+    def test_generator_list(self):
+        gen = CL.CaptionBackdoor.backdoor_caption_generator("TRIGGER_SKS", 0, -1, seed=1)
+        outs = gen(["hello world", "foo bar baz"])
+        assert all("sks" in o for o in outs)
+
+
+class TestCaptionDataset:
+    def test_batch_contract(self):
+        dsl = CL.CaptionDatasetLoader(
+            CL.FAKE_CAPTION, image_size=16, num_fake=16, batch_size=4
+        ).set_poison(
+            image_trigger="BOX_4",
+            caption_trigger="TRIGGER_SKS",
+            target="CORNER",
+            poison_rate=0.5,
+        )
+        batch = next(iter(dsl.get_dataloader(batch_size=8)))
+        for key in (CL.RAW, CL.IMAGE, CL.POISON_IMAGE):
+            assert batch[key].shape == (8, 16, 16, 3)
+        assert len(batch[CL.CAPTION]) == 8
+        pois = batch["is_poison"]
+        # poisoned rows: caption carries the trigger, image is the target
+        for c, p in zip(batch[CL.CAPTION], pois):
+            assert ("sks" in c.split()) == bool(p)
+        if pois.any():
+            tgt = np.broadcast_to(dsl.target, batch[CL.IMAGE].shape)
+            assert np.allclose(batch[CL.IMAGE][pois], tgt[pois])
+        if (~pois).any():
+            assert np.allclose(batch[CL.IMAGE][~pois], batch[CL.RAW][~pois])
+            assert np.all(batch[CL.POISON_IMAGE][~pois] == 0)
+
+    def test_tokenizing_collate(self):
+        tok = CL.HashTokenizer(vocab_size=128)
+        collate = CL.collate_fn_backdoor_gen(tok)
+        dsl = CL.CaptionDatasetLoader(
+            CL.FAKE_CAPTION, image_size=16, num_fake=8
+        ).set_poison(caption_trigger="TRIGGER_SKS", target="CORNER", poison_rate=1.0)
+        batch = collate(next(iter(dsl.get_dataloader(batch_size=4))))
+        assert batch[CL.CAPTION].shape == (4, 77)
+        assert batch[CL.CAPTION].dtype == np.int32
+        # determinism
+        a = tok("hello world")["input_ids"]
+        b = tok("hello world")["input_ids"]
+        assert np.array_equal(a, b)
+
+
+@pytest.fixture(scope="module")
+def tiny_cond():
+    model = UNet2DCondition(UNet2DConditionConfig.tiny(lora_rank=4))
+    params = model.init_params(jax.random.PRNGKey(0), text_len=77)
+    return model, params
+
+
+class TestUNetCondition:
+    def test_forward(self, tiny_cond):
+        model, params = tiny_cond
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 4))
+        ctx = jax.random.normal(jax.random.PRNGKey(2), (2, 77, 32))
+        y = jax.jit(model.apply)(params, x, jnp.array([1, 500]), ctx)
+        assert y.shape == (2, 8, 8, 4)
+        assert bool(jnp.isfinite(y).all())
+
+    def test_text_conditioning_matters(self, tiny_cond):
+        model, params = tiny_cond
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 4))
+        f = jax.jit(model.apply)
+        y1 = f(params, x, jnp.array([5]), jnp.zeros((1, 77, 32)))
+        y2 = f(params, x, jnp.array([5]), jnp.ones((1, 77, 32)))
+        assert not np.allclose(y1, y2)
+
+    def test_lora_zero_init_is_identity(self):
+        """With lora_up zero-init, rank>0 output == rank=0 output for
+        identical base params."""
+        m_lora = UNet2DCondition(UNet2DConditionConfig.tiny(lora_rank=4))
+        p_lora = m_lora.init_params(jax.random.PRNGKey(0))
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 4))
+        ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 77, 32))
+        y = m_lora.apply(p_lora, x, jnp.array([3]), ctx)
+        # zero the lora_up params explicitly (they are zero-init anyway) and
+        # perturb lora_down: output must be unchanged (up is zero)
+        import jax.tree_util as jtu
+
+        def bump_down(path, leaf):
+            keys = tuple(k.key if isinstance(k, jtu.DictKey) else "" for k in path)
+            return leaf + 1.0 if "lora_down" in keys else leaf
+
+        p2 = jtu.tree_map_with_path(bump_down, p_lora)
+        y2 = m_lora.apply(p2, x, jnp.array([3]), ctx)
+        assert np.allclose(y, y2)
+
+    def test_lora_mask_and_split(self, tiny_cond):
+        model, params = tiny_cond
+        mask = lora_mask(params)
+        n_lora = sum(bool(m) for m in jax.tree.leaves(mask))
+        assert n_lora > 0
+        flat = split_lora_params(params)
+        assert len(flat) == n_lora
+        assert all("lora" in k for k in flat)
+        # roundtrip merge
+        bumped = {k: v + 1.0 for k, v in flat.items()}
+        merged = merge_lora_params(params, bumped)
+        flat2 = split_lora_params(merged)
+        for k in flat:
+            assert np.allclose(flat2[k], flat[k] + 1.0)
+
+
+class TestConditionalTraining:
+    def test_lora_only_updates_and_loss_decreases(self):
+        from villandiffusion_tpu.models.vae import AutoencoderKLFlax
+        from villandiffusion_tpu.parallel import make_mesh, shard_batch
+        from villandiffusion_tpu.train import conditional as CT
+
+        mesh = make_mesh(n_devices=1)
+        model = UNet2DCondition(UNet2DConditionConfig.tiny(lora_rank=2))
+        params = model.init_params(jax.random.PRNGKey(0))
+        text = make_tiny_text_encoder(hidden_size=32)
+        vae = AutoencoderKLFlax(
+            block_out_channels=(8, 16), layers_per_block=1, latent_channels=4
+        )
+        vae_params = jax.jit(vae.init)(jax.random.PRNGKey(1), jnp.zeros((1, 16, 16, 3)))
+
+        def vae_encode(x, rng):
+            z = vae.apply(vae_params, x, method=vae.encode)
+            return z * CT.SD_SCALING
+
+        sched = CT.sd_schedule(100)
+        loss = CT.CondBackdoorLoss(
+            schedule=sched, vae_encode=vae_encode, text_encode=text.encode
+        )
+        trainer = CT.ConditionalTrainer(
+            unet_apply=model.apply,
+            loss=loss,
+            terms=CT.caption_backdoor_terms(prior_loss_weight=1.0),
+            optimizer=CT.make_lora_optimizer(params, 1e-2, warmup_steps=1, total_steps=50),
+            mesh=mesh,
+        )
+        state = trainer.init_state(params)
+        step = trainer.make_step()
+
+        tok = CL.HashTokenizer(vocab_size=1024)
+        collate = CL.collate_fn_backdoor_gen(tok)
+        dsl = CL.CaptionDatasetLoader(
+            CL.FAKE_CAPTION, image_size=16, num_fake=8
+        ).set_poison(caption_trigger="TRIGGER_SKS", target="CORNER", poison_rate=0.5)
+        raw = collate(next(iter(dsl.get_dataloader(batch_size=4))))
+        batch = {
+            k: jnp.asarray(raw[k])
+            for k in (CL.RAW, CL.IMAGE, CL.POISON_IMAGE, CL.CAPTION, CL.RAW_CAPTION)
+        }
+
+        base_before = np.asarray(
+            state.params["params"]["conv_in"]["kernel"]
+        ).copy()
+        lora_before = split_lora_params(state.params)
+        losses = []
+        for i in range(8):
+            state, l = step(state, batch, jax.random.PRNGKey(0))
+            losses.append(float(l))
+        assert all(np.isfinite(losses))
+        # base params frozen, lora params moved
+        base_after = np.asarray(state.params["params"]["conv_in"]["kernel"])
+        assert np.allclose(base_before, base_after)
+        lora_after = split_lora_params(state.params)
+        moved = any(
+            not np.allclose(lora_before[k], lora_after[k]) for k in lora_before
+        )
+        assert moved
+        assert np.mean(losses[-2:]) < np.mean(losses[:2])

@@ -1,0 +1,226 @@
+"""Conditional (SD + LoRA) backdoor training.
+
+Implements the reference's conditional loss composition
+(/root/reference/viallanDiffusion_conditional.py:780-1190 + the BadDiff
+closed forms in loss_conditional.py:15-69):
+
+- caption-backdoor loss: standard-diffusion MSE on (image=target, triggered
+  caption) + prior_loss_weight * MSE on (raw, raw_caption) [+ optional
+  caption-augment terms] — each term with its OWN timesteps and noise.
+- image-backdoor loss: the R-corrected term with
+  input  = add_noise(latents) + R_step[t] * poison_latents
+  target = eps + R_coef[t] * poison_latents        (loss_conditional.py:44-92)
+- latents via frozen VAE * 0.18215 (:851-854); epsilon or v prediction.
+
+LoRA-only optimization via an optax mask over lora_down/lora_up paths.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from villandiffusion_tpu.core import schedules as S
+from villandiffusion_tpu.models.unet2d_condition import lora_mask
+from villandiffusion_tpu.train.loop import TrainState, cosine_warmup_schedule
+
+SD_SCALING = 0.18215
+
+
+def sd_schedule(timesteps: int = 1000) -> S.VPSchedule:
+    """SD v1 training schedule (scaled_linear 0.00085..0.012,
+    viallanDiffusion_conditional.py:1243-1248)."""
+    return S.VPSchedule.create(timesteps, 0.00085, 0.012, S.BETA_SCALED_LINEAR)
+
+
+def velocity(schedule: S.VPSchedule, x0, noise, t):
+    """v-prediction target: v = sqrt(abar) eps - sqrt(1-abar) x0."""
+    shape = (x0.shape[0],) + (1,) * (x0.ndim - 1)
+    a = jnp.asarray(schedule.sqrt_alphas_cumprod, x0.dtype)[t].reshape(shape)
+    s = jnp.asarray(schedule.sqrt_one_minus_alphas_cumprod, x0.dtype)[t].reshape(shape)
+    return a * noise - s * x0
+
+
+@dataclasses.dataclass(frozen=True)
+class LossTerm:
+    latent_key: str
+    caption_key: str
+    weight: float = 1.0
+    poison_key: Optional[str] = None   # set -> image-backdoor R term
+
+
+@dataclasses.dataclass
+class CondBackdoorLoss:
+    schedule: S.VPSchedule
+    vae_encode: Callable               # (x, rng) -> latents (already scaled)
+    text_encode: Callable              # (ids) -> (B, T, hidden)
+    prediction_type: str = "epsilon"   # or "v_prediction"
+    psi: float = 1.0
+    solver_type: str = "ode"
+
+    def _ladders(self):
+        step, coef = self.schedule.backdoor_step_coef(
+            psi=self.psi, solver_type=self.solver_type
+        )
+        return np.asarray(step), np.asarray(coef)
+
+    def term_loss(
+        self,
+        unet_apply: Callable,
+        params,
+        batch: Dict,
+        term: LossTerm,
+        rng: jax.Array,
+    ) -> jnp.ndarray:
+        r_enc, r_t, r_n = jax.random.split(rng, 3)
+        latents = self.vae_encode(batch[term.latent_key], r_enc)
+        bs = latents.shape[0]
+        T = self.schedule.timesteps
+        t = jax.random.randint(r_t, (bs,), 0, T)
+        noise = jax.random.normal(r_n, latents.shape, latents.dtype)
+        x_noisy = self.schedule.add_noise(latents, noise, t)
+        target = noise
+        if term.poison_key is not None:
+            step, coef = self._ladders()
+            shape = (bs,) + (1,) * (latents.ndim - 1)
+            step_t = jnp.asarray(step, latents.dtype)[t].reshape(shape)
+            coef_t = jnp.asarray(coef, latents.dtype)[t].reshape(shape)
+            pois = self.vae_encode(batch[term.poison_key], r_enc)
+            x_noisy = x_noisy + step_t * pois
+            target = noise + coef_t * pois
+        if self.prediction_type == "v_prediction":
+            target = velocity(self.schedule, latents, target, t)
+        emb = self.text_encode(batch[term.caption_key])
+        pred = unet_apply(params, x_noisy, t, emb)
+        return ((pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2).mean()
+
+    def __call__(
+        self,
+        unet_apply: Callable,
+        params,
+        batch: Dict,
+        terms: List[LossTerm],
+        rng: jax.Array,
+    ) -> jnp.ndarray:
+        total = 0.0
+        for k, term in enumerate(terms):
+            total += term.weight * self.term_loss(
+                unet_apply, params, batch, term, jax.random.fold_in(rng, k)
+            )
+        return total
+
+
+def caption_backdoor_terms(prior_loss_weight: float = 1.0) -> List[LossTerm]:
+    """viallanDiffusion_conditional.py:1032-1104."""
+    from villandiffusion_tpu.data import caption_loader as CL
+
+    return [
+        LossTerm(CL.IMAGE, CL.CAPTION, 1.0),
+        LossTerm(CL.RAW, CL.RAW_CAPTION, prior_loss_weight),
+    ]
+
+
+def image_backdoor_terms(prior_loss_weight: float = 1.0) -> List[LossTerm]:
+    """viallanDiffusion_conditional.py:1127-1190."""
+    from villandiffusion_tpu.data import caption_loader as CL
+
+    return [
+        LossTerm(CL.IMAGE, CL.CAPTION, 1.0, poison_key=CL.POISON_IMAGE),
+        LossTerm(CL.RAW, CL.RAW_CAPTION, prior_loss_weight),
+    ]
+
+
+def clean_terms() -> List[LossTerm]:
+    from villandiffusion_tpu.data import caption_loader as CL
+
+    return [LossTerm(CL.RAW, CL.RAW_CAPTION, 1.0)]
+
+
+def make_lora_optimizer(
+    params,
+    learning_rate: float = 1e-4,
+    warmup_steps: int = 500,
+    total_steps: int = 50_000,
+    grad_clip: float = 1.0,
+    weight_decay: float = 1e-2,
+) -> optax.GradientTransformation:
+    """AdamW on LoRA params only (reference trains only attn processors,
+    viallanDiffusion_conditional.py:1277-1280 + AdamW :1498-1521).
+
+    Uses multi_transform with an explicit set_to_zero for base params —
+    optax.masked would pass RAW gradients through as updates for the
+    masked-out leaves, silently un-freezing the base model."""
+    labels = jax.tree.map(
+        lambda is_lora: "lora" if is_lora else "frozen", lora_mask(params)
+    )
+    inner = optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adamw(
+            cosine_warmup_schedule(learning_rate, warmup_steps, total_steps),
+            weight_decay=weight_decay,
+        ),
+    )
+    return optax.multi_transform(
+        {"lora": inner, "frozen": optax.set_to_zero()}, labels
+    )
+
+
+@dataclasses.dataclass
+class ConditionalTrainer:
+    unet_apply: Callable               # (params, x, t, emb) -> pred
+    loss: CondBackdoorLoss
+    terms: List[LossTerm]
+    optimizer: optax.GradientTransformation
+    mesh: object
+
+    def init_state(self, params) -> TrainState:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(self.mesh, P())
+
+        def make(p):
+            return TrainState(
+                step=jnp.zeros((), jnp.int32),
+                params=p,
+                opt_state=self.optimizer.init(p),
+            )
+
+        # built under the SAME mesh/sharding context as the train step so
+        # that the initial avals match the step outputs (otherwise the
+        # second step call retraces+recompiles)
+        return jax.jit(make, out_shardings=repl)(params)
+
+    def make_step(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(self.mesh, P())
+
+        def step_fn(state: TrainState, batch, rng):
+            rng = jax.random.fold_in(rng, state.step)
+
+            def loss_fn(p):
+                return self.loss(self.unet_apply, p, batch, self.terms, rng)
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            updates, opt_state = self.optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            params = optax.apply_updates(state.params, updates)
+            return (
+                TrainState(step=state.step + 1, params=params, opt_state=opt_state),
+                loss,
+            )
+
+        # pinned shardings: inferred shardings make the second call recompile
+        return jax.jit(
+            step_fn,
+            in_shardings=(repl, repl, repl),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,),
+        )
