@@ -21,3 +21,8 @@ import jax  # noqa: E402
 # really run on the virtual 8-device CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+
+# Persistent compilation cache: XLA-CPU compiles dominate test wall-clock;
+# repeat runs hit the disk cache instead.
+jax.config.update("jax_compilation_cache_dir", "/tmp/villan_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

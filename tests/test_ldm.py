@@ -1,0 +1,125 @@
+"""LDM path tests: VQ-VAE, latent dataset, end-to-end tiny LDM run,
+backdoor-removal mode."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from villandiffusion_tpu.models.vae import (
+    AutoencoderKLFlax,
+    VQModelFlax,
+    make_random_vq,
+)
+
+
+class TestVQModel:
+    def test_encode_decode_shapes(self):
+        vae = make_random_vq(
+            block_out_channels=(8, 16, 16), layers_per_block=1,
+            latent_channels=3, num_vq_embeddings=32,
+        )
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+        z = vae.encode(x)
+        assert z.shape == (2, 8, 8, 3)  # 2 downsamples -> /4
+        y = vae.decode(z)
+        assert y.shape == (2, 32, 32, 3)
+        assert bool(jnp.isfinite(y).all())
+
+    def test_quantize_snaps_to_codebook(self):
+        model = VQModelFlax(
+            block_out_channels=(8, 16), layers_per_block=1,
+            latent_channels=3, num_vq_embeddings=16,
+        )
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+        z = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 4, 3))
+        q = model.apply(params, z, method=model.quantize)
+        codebook = np.asarray(params["params"]["codebook"])
+        flat = np.asarray(q).reshape(-1, 3)
+        for row in flat:
+            assert np.min(np.linalg.norm(codebook - row, axis=1)) < 1e-6
+
+    def test_autoencoder_kl(self):
+        model = AutoencoderKLFlax(
+            block_out_channels=(8, 16), layers_per_block=1, latent_channels=4
+        )
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3))
+        z_det = model.apply(params, x, method=model.encode)
+        assert z_det.shape == (2, 8, 8, 4)
+        z_samp = model.apply(
+            params, x, jax.random.PRNGKey(2), method=model.encode
+        )
+        assert not np.allclose(z_det, z_samp)
+        y = model.apply(params, z_det, method=model.decode)
+        assert y.shape == (2, 16, 16, 3)
+
+
+class TestLatentDataset:
+    def test_build_and_load(self, tmp_path):
+        from villandiffusion_tpu.data.latent import LatentDataset, build_latent_dataset
+
+        vae = make_random_vq(
+            block_out_channels=(8, 16), layers_per_block=1,
+            latent_channels=3, num_vq_embeddings=16,
+        )
+        rng = np.random.default_rng(0)
+        imgs = (rng.random((12, 16, 16, 3)) * 255).astype(np.uint8)
+        root = str(tmp_path / "latents")
+        build_latent_dataset(
+            imgs, vae, root, trigger_types=["BOX_4"], target_types=["CORNER"],
+            batch_size=4,
+        )
+        ds = LatentDataset(root).set_poison("BOX_4", "CORNER", poison_rate=0.5)
+        assert len(ds) == 12
+        batch = next(iter(ds.get_dataloader(batch_size=8)))
+        assert batch["image"].shape == (8, 8, 8, 3)  # latent space /2
+        pois = ~batch["is_clean"]
+        assert batch["pixel_values"][~pois].sum() == 0 or pois.any()
+        # poisoned targets equal the encoded target latent
+        tgt = np.load(os.path.join(root, "target_CORNER.npy"))
+        if pois.any():
+            assert np.allclose(batch["target"][pois][0], tgt, atol=1e-6)
+
+
+class TestLDMEndToEnd:
+    def test_tiny_ldm_train(self, tmp_path):
+        from villandiffusion_tpu import cli
+
+        res = str(tmp_path / "runs")
+        cli.main(
+            ["--mode", "train", "--dataset", "FAKE32",
+             "--ckpt", "LDM-TINY-DEFAULT", "--sde_type", "SDE-LDM",
+             "--trigger", "BOX_14", "--target", "CORNER",
+             "--poison_rate", "0.5", "--epoch", "1", "--batch", "32",
+             "--infer_steps", "4", "--eval_sample_n", "2",
+             "--save_image_epochs", "1", "--save_model_epochs", "1",
+             "--result", res, "--overwrite"]
+        )
+        (out,) = [d for d in os.listdir(res) if d.startswith("res_")]
+        run = os.path.join(res, out)
+        # samples are decoded back to 32px pixel space
+        from PIL import Image
+
+        img = Image.open(os.path.join(run, "samples", "final.png"))
+        assert img.size[0] > 32  # grid of 2 images with padding
+
+
+class TestBackdoorRemoval:
+    def test_rm_backdoor_trains_on_clean_images(self, tmp_path):
+        from villandiffusion_tpu import cli
+
+        res = str(tmp_path / "runs")
+        cli.main(
+            ["--mode", "train", "--dataset", "FAKE32",
+             "--ckpt", "UNET-TINY-DEFAULT", "--rm_backdoor",
+             "--trigger", "BOX_14", "--target", "CORNER",
+             "--poison_rate", "0.5", "--epoch", "1", "--batch", "32",
+             "--infer_steps", "4", "--eval_sample_n", "2",
+             "--save_image_epochs", "1", "--save_model_epochs", "1",
+             "--result", res, "--overwrite"]
+        )
+        (out,) = [d for d in os.listdir(res) if d.startswith("res_")]
+        assert os.path.exists(os.path.join(res, out, "unet", "params.msgpack"))

@@ -112,6 +112,11 @@ def make_trainer(config: C.TrainingConfig, bundle: F.ModelBundle, steps_per_epoc
         optimizer=optimizer,
         mesh=mesh,
         compute_dtype=compute_dtype,
+        vae=bundle.vae,
+        vae_encode="LATENT" not in config.dataset,
+        # backdoor-removal semantics: supervise the CLEAN image reconstruction
+        # (rm_backdoor_VillanDiffusion.py:1113-1114 uses target_latent_key='image')
+        target_key="image" if config.rm_backdoor else "target",
     )
     return trainer, mesh
 
@@ -222,9 +227,57 @@ def _score_key(config: C.TrainingConfig, metric: str) -> str:
     return key
 
 
+def measure_inpaint(config: C.TrainingConfig, dsl: L.DatasetLoader, pipeline) -> Dict:
+    """Inpaint/denoise-recovery measurement: corrupt dataset-tail images,
+    recover through the pipeline, score MSE/SSIM/LPIPS vs the originals
+    (/root/reference/VillanDiffusion.py:875-949)."""
+    from villandiffusion_tpu.eval.lpips import lpips_batch
+
+    n = min(config.measure_inpaint_sample_n, len(dsl))
+    tail = dsl.get_batch(np.arange(len(dsl) - n, len(dsl)))
+    imgs = jnp.asarray(tail[L.IMAGE])
+    if "poisoned" in config.task and "unpoisoned" not in config.task:
+        imgs = jnp.asarray(dsl.get_poisoned(np.asarray(imgs)))
+    latents = pipeline.encode(imgs)
+    rng = jax.random.PRNGKey(config.seed)
+    if "denoise" in config.task:
+        corrupt = latents + 0.3 * jax.random.normal(rng, latents.shape)
+    elif "inpaint_box" in config.task:
+        corrupt = jnp.asarray(dsl.get_inpainted_by_type(np.asarray(latents), "INPAINT_BOX"))
+    else:
+        corrupt = jnp.asarray(dsl.get_inpainted_by_type(np.asarray(latents), "INPAINT_LINE"))
+
+    recovered = []
+    mb = min(config.eval_max_batch, 256)
+    for lo in range(0, n, mb):
+        out = pipeline(
+            init=corrupt[lo : lo + mb] * config.inpaint_mul,
+            num_inference_steps=config.infer_steps,
+            start_from=int(config.infer_start),
+            rng=jax.random.fold_in(rng, lo),
+        )
+        recovered.append(out.images)
+    recovered = np.concatenate(recovered, axis=0)
+    # originals mapped to [0,1] like the pipeline output
+    if config.sde_type == S.SDE_VE:
+        orig01 = np.clip(np.asarray(imgs), 0.0, 1.0)
+    else:
+        orig01 = np.clip(np.asarray(imgs) / 2.0 + 0.5, 0.0, 1.0)
+    scores = {
+        _score_key(config, f"MSE_{config.task}"): Metric.mse_batch(recovered, orig01),
+        _score_key(config, f"SSIM_{config.task}"): Metric.ssim_batch(recovered, orig01),
+        _score_key(config, f"LPIPS_{config.task}"): lpips_batch(recovered, orig01),
+    }
+    update_score_file(config, scores)
+    Log.info(f"measure_inpaint[{config.task}]: {scores}")
+    return scores
+
+
 def measure(config: C.TrainingConfig, dsl: L.DatasetLoader, pipeline) -> Dict:
     """FID + backdoor MSE/MSE-thres/SSIM
     (/root/reference/VillanDiffusion.py:1017-1096)."""
+    if config.task != C.TASK_GENERATE:
+        return measure_inpaint(config, dsl, pipeline)
     rng = jax.random.PRNGKey(config.seed)
     n = config.measure_sample_n
     shape = (n, pipeline.sample_size, pipeline.sample_size, pipeline.in_channels)
@@ -308,10 +361,11 @@ def train_loop(
         for epoch in range(start_epoch, config.epoch):
             losses = []
             for batch in dsl.get_dataloader(epoch_seed=epoch):
+                key = "image" if config.rm_backdoor else "target"
                 device_batch = shard_batch(
                     mesh,
                     {
-                        "target": batch[L.TARGET],
+                        key: batch[L.IMAGE if config.rm_backdoor else L.TARGET],
                         "pixel_values": batch[L.PIXEL_VALUES],
                     },
                 )
@@ -341,7 +395,14 @@ def train_loop(
     bundle.params = state.params
 
 
+def _setup_runtime():
+    from villandiffusion_tpu.utils.jaxruntime import setup_jax_cache
+
+    setup_jax_cache()
+
+
 def main(argv=None) -> Dict:
+    _setup_runtime()
     config = C.setup(argv)
     Log.info(f"MODE: {config.mode}; output: {config.output_dir}")
     dsl = get_data_loader(config)

@@ -57,7 +57,7 @@ MODE_SAMPLING_OPTS = [
     "inpaint_mul",
 ]
 MODE_MEASURE_OPTS = MODE_SAMPLING_OPTS
-IGNORE_ARGS = ["overwrite", "is_save_all_model_epochs", "R_trigger_only"]
+IGNORE_ARGS = ["overwrite", "is_save_all_model_epochs", "R_trigger_only", "rm_backdoor"]
 
 ARGS_FILE = "args.json"
 CONFIG_FILE = "config.json"
@@ -95,6 +95,7 @@ class TrainingConfig:
     ckpt: Optional[str] = None
     overwrite: bool = False
     R_trigger_only: bool = False
+    rm_backdoor: bool = False  # 2.1b: fine-tune predicting the clean image
     postfix: str = ""
     fclip: str = "w"
     save_image_epochs: int = 5
@@ -176,6 +177,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ckpt", "-c", type=str)
     p.add_argument("--overwrite", "-o", action="store_true", default=None)
     p.add_argument("--R_trigger_only", "-trigonly", action="store_true", default=None)
+    p.add_argument("--rm_backdoor", action="store_true", default=None,
+                   help="backdoor-removal fine-tuning (rm_backdoor_VillanDiffusion)")
     p.add_argument("--postfix", "-p", type=str)
     p.add_argument("--fclip", "-fc", type=str, choices=["w", "o"])
     p.add_argument("--save_image_epochs", "-sie", type=int)

@@ -38,6 +38,14 @@ def _model_and_params(weights_path: Optional[str]) -> Tuple[FIDInceptionV3, dict
     return model, params, False
 
 
+@functools.lru_cache(maxsize=1)
+def _apply_jit(weights_path: Optional[str]):
+    """One persistent jitted apply per process — re-wrapping jax.jit per call
+    would recompile InceptionV3 every time."""
+    model, params, pretrained = _model_and_params(weights_path)
+    return jax.jit(model.apply), params, pretrained
+
+
 def get_activations(
     images: np.ndarray,
     batch_size: int = 64,
@@ -45,8 +53,7 @@ def get_activations(
 ) -> Tuple[np.ndarray, bool]:
     """(N, H, W, C) uint8 or float[0,1] -> (N, 2048) activations."""
     weights_path = weights_path or os.environ.get(WEIGHTS_ENV)
-    model, params, pretrained = _model_and_params(weights_path)
-    apply_jit = jax.jit(model.apply)
+    apply_jit, params, pretrained = _apply_jit(weights_path)
 
     outs = []
     n = len(images)

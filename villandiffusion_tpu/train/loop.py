@@ -73,13 +73,22 @@ class Trainer:
     compute_dtype: jnp.dtype = jnp.bfloat16
     target_key: str = "target"
     poison_key: str = "pixel_values"
+    vae: object = None                     # optional VAEBundle (LDM path)
+    vae_encode: bool = True                # False when batches are pre-encoded latents
 
     def init_state(self, params) -> TrainState:
-        params = M.replicate(self.mesh, params)
-        opt_state = jax.jit(self.optimizer.init)(params)
-        return TrainState(
-            step=jnp.zeros((), jnp.int32), params=params, opt_state=opt_state
-        )
+        repl = M.replicated_sharding(self.mesh)
+
+        def make(p):
+            return TrainState(
+                step=jnp.zeros((), jnp.int32),
+                params=p,
+                opt_state=self.optimizer.init(p),
+            )
+
+        # built under the same mesh context as make_step's outputs so the
+        # second step call doesn't retrace (aval mesh annotations must match)
+        return jax.jit(make, out_shardings=repl)(params)
 
     def _loss(self, params, batch, t, noise):
         cdt = self.compute_dtype
@@ -114,6 +123,14 @@ class Trainer:
 
         def step_fn(state: TrainState, batch, rng):
             rng_t, rng_n = jax.random.split(jax.random.fold_in(rng, state.step))
+            if self.vae is not None and self.vae_encode:
+                # LDM: train on frozen-VAE latents (loss.py:941-951 semantics)
+                batch = {
+                    k: jax.lax.stop_gradient(
+                        self.vae.encode(v.astype(jnp.float32))
+                    )
+                    for k, v in batch.items()
+                }
             bs = batch[self.target_key].shape[0]
             t = jax.random.randint(rng_t, (bs,), 0, T)
             noise = jax.random.normal(
@@ -131,10 +148,14 @@ class Trainer:
                 loss,
             )
 
+        # Pin shardings explicitly: leaving them to be inferred makes the
+        # SECOND call recompile (the first call's outputs carry
+        # compiler-chosen shardings that differ from the initial host-placed
+        # inputs). state replicated, batch sharded on the data axis.
         batch_shardings = {self.target_key: data_sh, self.poison_key: data_sh}
         return jax.jit(
             step_fn,
-            in_shardings=(None, batch_shardings, None),
-            out_shardings=(None, None),
+            in_shardings=(repl_sh, batch_shardings, repl_sh),
+            out_shardings=(repl_sh, repl_sh),
             donate_argnums=(0,),
         )

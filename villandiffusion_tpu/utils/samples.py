@@ -39,12 +39,19 @@ def save_grid(
 
 def save_images(images: np.ndarray, file_dir: str, start_cnt: int = 0) -> None:
     """Per-image PNGs named <n>.png (measure cache layout,
-    /root/reference/model.py:496-502)."""
+    /root/reference/model.py:496-502).
+
+    Encoded and written by the native threaded codec when available
+    (villandiffusion_tpu.native), PIL otherwise."""
     os.makedirs(file_dir, exist_ok=True)
-    for i, img in enumerate(to_uint8(images)):
-        Image.fromarray(img.squeeze()).save(
-            os.path.join(file_dir, f"{start_cnt + i}.png")
-        )
+    imgs = to_uint8(images)
+    paths = [os.path.join(file_dir, f"{start_cnt + i}.png") for i in range(len(imgs))]
+    from villandiffusion_tpu import native
+
+    if native.write_png_batch(paths, imgs):
+        return
+    for img, path in zip(imgs, paths):
+        Image.fromarray(img.squeeze()).save(path)
 
 
 def match_count(file_dir: str, ext: str = ".png") -> int:
@@ -63,9 +70,17 @@ def load_images(file_dir: str, limit: Optional[int] = None) -> np.ndarray:
     )
     if limit:
         files = files[:limit]
+    paths = [os.path.join(file_dir, f) for f in files]
+    from villandiffusion_tpu import native
+
+    info = native.png_info(paths[0]) if paths else None
+    if info is not None:
+        h, w, _ = info
+        batch = native.read_png_batch(paths, h, w, channels=3)
+        if batch is not None:
+            return batch.astype(np.float32) / 255.0
     out = [
-        np.asarray(Image.open(os.path.join(file_dir, f)).convert("RGB"), np.float32)
-        / 255.0
-        for f in files
+        np.asarray(Image.open(p).convert("RGB"), np.float32) / 255.0
+        for p in paths
     ]
     return np.stack(out)
