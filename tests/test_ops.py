@@ -1,0 +1,52 @@
+"""Pallas flash-attention kernel vs the XLA reference path.
+
+The kernel targets TPU; on the CPU test mesh we run it in interpreter mode,
+which executes the same blocked online-softmax program."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from villandiffusion_tpu.ops import attention as A
+
+
+def _interpreted_pallas(q, k, v, n_heads):
+    from unittest import mock
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+    with mock.patch.object(
+        pl, "pallas_call", functools.partial(orig, interpret=True)
+    ):
+        # bypass the jit cache (it closes over the unpatched pallas_call)
+        return A._pallas_attention.__wrapped__(q, k, v, n_heads)
+
+
+@pytest.mark.parametrize("T,heads", [(64, 1), (256, 4)])
+def test_flash_matches_xla_single_block(T, heads):
+    rng = np.random.default_rng(0)
+    B, C = 2, 64
+    q, k, v = (jnp.asarray(rng.standard_normal((B, T, C)), jnp.float32) for _ in range(3))
+    ref = A.xla_attention(q, k, v, heads)
+    out = _interpreted_pallas(q, k, v, heads)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_matches_xla_multi_kv_block():
+    """T=2048 > 1024 exercises the streamed online-softmax path."""
+    rng = np.random.default_rng(1)
+    B, T, C, heads = 1, 2048, 32, 1
+    q, k, v = (jnp.asarray(rng.standard_normal((B, T, C)), jnp.float32) for _ in range(3))
+    ref = A.xla_attention(q, k, v, heads)
+    out = _interpreted_pallas(q, k, v, heads)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_block_sizes():
+    assert A._block_sizes(256, 64) == (256, 256)
+    assert A._block_sizes(1024, 64) == (1024, 1024)
+    assert A._block_sizes(4096, 64) == (512, 512)
+    assert A._block_sizes(2048, 32) == (512, 512)

@@ -1,10 +1,13 @@
 """Spatial self-attention for UNet blocks.
 
 The UNet attends over H*W spatial tokens (<= 4096 even at 512px latents, see
-SURVEY.md §5.7), so a single fused kernel per (batch, head) is the right
-shape — no sequence sharding needed.  On TPU a Pallas flash-attention kernel
-keeps the softmax fused in VMEM; elsewhere (CPU tests) we fall back to the
-XLA einsum path, which the compiler fuses adequately for these sizes.
+SURVEY.md §5.7), so one fused kernel per (batch, head) is the right shape —
+no sequence sharding needed.  On TPU a Pallas flash-attention kernel keeps
+the softmax fused in VMEM, streaming KV blocks with an online-softmax
+accumulator so the full T x T logits matrix never materializes (64 MB at
+T=4096 would blow the ~16 MB VMEM budget).  Elsewhere (CPU tests) we fall
+back to the XLA einsum path, which the compiler fuses adequately at these
+sizes.
 """
 
 from __future__ import annotations
@@ -41,34 +44,68 @@ def xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, n_heads: int) 
     return out.transpose(0, 2, 1, 3).reshape(B, T, C).astype(q.dtype)
 
 
+def _block_sizes(T: int, hd: int) -> tuple:
+    """(q_block, kv_block): whole sequence when small, 512-token tiles when
+    streaming is needed.  All UNet resolutions give T a power of two
+    (H*W with H=W in {8,16,32,64}); hd is a multiple of 8."""
+    if T <= 1024:
+        return T, T
+    blk = 512
+    while T % blk:
+        blk //= 2
+    return blk, blk
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc, m_i, l_i, *, scale, kv_steps):
+    """Grid: (BH, q_blocks, kv_blocks); kv innermost so the accumulator in
+    VMEM scratch carries across kv steps for a fixed q block."""
+    kv_i = _pl().program_id(2)
+
+    @_pl().when(kv_i == 0)
+    def _init():
+        acc[:] = jnp.zeros_like(acc)
+        m_i[:] = jnp.full_like(m_i, -jnp.inf)
+        l_i[:] = jnp.zeros_like(l_i)
+
+    qb = q_ref[0].astype(jnp.float32) * scale          # (bq, hd)
+    kb = k_ref[0].astype(jnp.float32)                  # (bkv, hd)
+    vb = v_ref[0].astype(jnp.float32)                  # (bkv, hd)
+
+    s = jax.lax.dot_general(
+        qb, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )                                                   # (bq, bkv)
+    m_new = jnp.maximum(m_i[:], jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_i[:] - m_new)
+    l_i[:] = l_i[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc[:] = acc[:] * alpha + jax.lax.dot_general(
+        p, vb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    m_i[:] = m_new
+
+    @_pl().when(kv_i == kv_steps - 1)
+    def _done():
+        o_ref[0] = (acc[:] / l_i[:]).astype(o_ref.dtype)
+
+
+def _pl():
+    from jax.experimental import pallas as pl
+
+    return pl
+
+
 @functools.partial(jax.jit, static_argnums=(3,))
 def _pallas_attention(q, k, v, n_heads):
-    """Fused flash-attention over spatial tokens (single kv block: T <= 4096
-    fits comfortably in VMEM at these sizes)."""
+    """Blocked flash attention: one (batch*head) per grid row, q/kv tiles
+    streamed through VMEM with an online-softmax scratch accumulator."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B, T, C = q.shape
     hd = C // n_heads
     scale = 1.0 / np.sqrt(hd)
-
-    # Layout: fold heads into the grid; process one (batch, head) per program.
-    def kernel(q_ref, k_ref, v_ref, o_ref):
-        qb = q_ref[0].astype(jnp.float32) * scale          # (T, hd)
-        kb = k_ref[0].astype(jnp.float32)
-        vb = v_ref[0].astype(jnp.float32)
-        logits = jax.lax.dot_general(
-            qb, kb, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                   # (T, T)
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        p = jnp.exp(logits - m)
-        denom = jnp.sum(p, axis=-1, keepdims=True)
-        o = jax.lax.dot_general(
-            p, vb, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) / denom
-        o_ref[0] = o.astype(o_ref.dtype)
+    bq, bkv = _block_sizes(T, hd)
+    q_steps, kv_steps = T // bq, T // bkv
 
     def split(x):
         return x.reshape(B, T, n_heads, hd).transpose(0, 2, 1, 3).reshape(
@@ -76,20 +113,28 @@ def _pallas_attention(q, k, v, n_heads):
         )
 
     qh, kh, vh = split(q), split(k), split(v)
-    from jax.experimental.pallas import tpu as pltpu  # noqa: F811
 
+    kernel = functools.partial(_flash_kernel, scale=scale, kv_steps=kv_steps)
     out = pl.pallas_call(
         kernel,
-        grid=(B * n_heads,),
+        grid=(B * n_heads, q_steps, kv_steps),
         in_specs=[
-            pl.BlockSpec((1, T, hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, hd), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bkv, hd), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bkv, hd), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, T, hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (1, bq, hd), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B * n_heads, T, hd), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, hd), jnp.float32),   # output accumulator
+            pltpu.VMEM((bq, 1), jnp.float32),    # running max
+            pltpu.VMEM((bq, 1), jnp.float32),    # running denom
+        ],
     )(qh, kh, vh)
     return (
         out.reshape(B, n_heads, T, hd).transpose(0, 2, 1, 3).reshape(B, T, C)
