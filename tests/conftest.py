@@ -23,6 +23,8 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
 
 # Persistent compilation cache: XLA-CPU compiles dominate test wall-clock;
-# repeat runs hit the disk cache instead.
-jax.config.update("jax_compilation_cache_dir", "/tmp/villan_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# repeat runs hit the disk cache instead.  Same dir as the CLI runtime's
+# setup_jax_cache so test-driven and manual runs share compiles.
+from villandiffusion_tpu.utils.jaxruntime import setup_jax_cache  # noqa: E402
+
+setup_jax_cache()

@@ -36,6 +36,12 @@ def run_dir(tmp_path_factory):
 
 
 class TestConditionalCLI:
+    def test_train_loss_finite(self, run_dir):
+        with open(os.path.join(run_dir, "metrics.jsonl")) as f:
+            recs = [json.loads(line) for line in f]
+        losses = [r["loss"] for r in recs if "loss" in r]
+        assert losses and all(np.isfinite(losses)), losses
+
     def test_train_artifacts(self, run_dir):
         assert os.path.exists(os.path.join(run_dir, "lora_weights.npz"))
         assert os.path.exists(os.path.join(run_dir, "lora_4", "lora_weights.npz"))

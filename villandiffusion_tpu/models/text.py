@@ -37,11 +37,15 @@ class TextEncoderBundle:
 
 def make_tiny_text_encoder(
     hidden_size: int = 32,
-    vocab_size: int = 1024,
+    vocab_size: int = 49408,
     max_length: int = 77,
     rng: Optional[jax.Array] = None,
 ) -> TextEncoderBundle:
-    """Random-init CLIP-text at smoke-test scale."""
+    """Random-init CLIP-text at smoke-test scale.
+
+    vocab_size must cover the tokenizer's id range (HashTokenizer emits the
+    CLIP range, 49408): flax nn.Embed lowers out-of-range ids to a
+    NaN-filling jnp.take, which poisons every downstream loss."""
     from transformers import CLIPTextConfig
     from transformers.models.clip.modeling_flax_clip import FlaxCLIPTextModule
 

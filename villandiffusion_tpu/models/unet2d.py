@@ -225,10 +225,43 @@ class Conv3x3(nn.Module):
         )(x)
 
 
-def group_norm(x, groups, eps, name):
-    return nn.GroupNorm(
-        num_groups=groups, epsilon=eps, dtype=jnp.float32, name=name
-    )(x)
+class FusedGroupNorm(nn.Module):
+    """GroupNorm(+SiLU) through the fused Pallas kernel (ops/groupnorm.py).
+
+    Same param tree as flax nn.GroupNorm ({scale, bias}); output dtype
+    follows the input — pinning float32 here would upcast every downstream
+    conv activation, 2x the HBM traffic of a bandwidth-bound UNet (both
+    effects measured directly in TPU v5e profiles)."""
+
+    groups: int
+    eps: float
+    act: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        import os
+
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        if os.environ.get("VILLAN_GN_KERNEL") == "pallas":
+            from villandiffusion_tpu.ops.groupnorm import group_norm_silu
+
+            return group_norm_silu(x, scale, bias, self.groups, self.eps, self.act)
+        # default: flax GN — XLA fuses its normalize multiply into the
+        # surrounding convs, which benchmarks faster than any standalone
+        # kernel here (see ops/groupnorm.py for the v5e measurements)
+        gn = nn.GroupNorm(
+            num_groups=self.groups, epsilon=self.eps, dtype=x.dtype,
+            use_scale=False, use_bias=False,
+        )
+        y = gn.apply({}, x)
+        y = y * scale.astype(x.dtype) + bias.astype(x.dtype)
+        return nn.silu(y) if self.act else y
+
+
+def group_norm(x, groups, eps, name, act=False):
+    return FusedGroupNorm(groups=groups, eps=eps, act=act, name=name)(x)
 
 
 def _fir_kernel() -> np.ndarray:
@@ -281,8 +314,7 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x, temb):
         in_ch = x.shape[-1]
-        h = group_norm(x, _auto_groups(in_ch, self.groups), self.eps, "norm1")
-        h = nn.silu(h)
+        h = group_norm(x, _auto_groups(in_ch, self.groups), self.eps, "norm1", act=True)
         if self.updown == "down":
             h = fir_downsample(h)
             x = fir_downsample(x)
@@ -296,9 +328,8 @@ class ResnetBlock(nn.Module):
         t = nn.Dense(self.out_channels, param_dtype=jnp.float32, name="time_emb_proj")(
             nn.silu(temb)
         )
-        h = h + t[:, None, None, :]
-        h = group_norm(h, _auto_groups(self.out_channels, self.groups), self.eps, "norm2")
-        h = nn.silu(h)
+        h = h + t.astype(h.dtype)[:, None, None, :]
+        h = group_norm(h, _auto_groups(self.out_channels, self.groups), self.eps, "norm2", act=True)
         h = nn.Conv(
             self.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
             param_dtype=jnp.float32, name="conv2",
@@ -406,6 +437,12 @@ class UNet2D(nn.Module):
             )(timesteps)
         else:
             raise NotImplementedError(cfg.time_embedding_type)
+        # The sinusoid/Fourier table is built in fp32 for precision, but the
+        # MLP and everything downstream must run in the compute dtype: an
+        # fp32 temb silently promotes every conv activation to fp32, doubling
+        # HBM traffic on a bandwidth-bound model (seen directly in TPU
+        # profiles as f32[512,32,32,256] fusion outputs).
+        temb = temb.astype(x.dtype)
         temb = nn.Dense(time_embed_dim, param_dtype=jnp.float32, name="time_dense_1")(temb)
         temb = nn.silu(temb)
         temb = nn.Dense(time_embed_dim, param_dtype=jnp.float32, name="time_dense_2")(temb)
@@ -502,9 +539,8 @@ class UNet2D(nn.Module):
                     out_pyramid = fir_upsample(out_pyramid)
                 s = group_norm(
                     h, _auto_groups(out_ch, groups), cfg.norm_eps,
-                    f"up_{i}_skip_norm",
+                    f"up_{i}_skip_norm", act=True,
                 )
-                s = nn.silu(s)
                 s = nn.Conv(
                     cfg.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
                     param_dtype=jnp.float32, name=f"up_{i}_skip_conv",
@@ -520,8 +556,7 @@ class UNet2D(nn.Module):
                 h = Upsample(out_ch, name=f"up_{i}_upsample")(h)
 
         # --- out ---
-        h = group_norm(h, _auto_groups(h.shape[-1], groups), cfg.norm_eps, "norm_out")
-        h = nn.silu(h)
+        h = group_norm(h, _auto_groups(h.shape[-1], groups), cfg.norm_eps, "norm_out", act=True)
         h = nn.Conv(
             cfg.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
             param_dtype=jnp.float32, name="conv_out",
