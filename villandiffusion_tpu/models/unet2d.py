@@ -299,10 +299,33 @@ def _auto_groups(channels: int, groups: Optional[int]) -> int:
     return groups if groups is not None else min(channels // 4, 32)
 
 
+class _Params(nn.Module):
+    """Param holder exposing {names[0]: shape, names[1]: bias_shape} leaves —
+    lets the fused GN+conv kernel consume raw param values while keeping the
+    param tree byte-identical to the unfused nn.GroupNorm / nn.Conv modules
+    (same submodule name, same leaf names, same initializers)."""
+
+    shape: tuple
+    init: object
+    names: tuple = ("scale", "bias")
+    bias_shape: Optional[tuple] = None
+
+    @nn.compact
+    def __call__(self):
+        a = self.param(self.names[0], self.init, self.shape, jnp.float32)
+        bshape = self.bias_shape or self.shape
+        b = self.param(self.names[1], nn.initializers.zeros, bshape, jnp.float32)
+        return a, b
+
+
 class ResnetBlock(nn.Module):
     """GroupNorm-SiLU-Conv x2 with additive time conditioning, matching
     diffusers ResnetBlock2D (default, non-scale-shift).  ``updown`` applies
-    FIR resampling to both branches (NCSN++ resnet_up/resnet_down)."""
+    FIR resampling to both branches (NCSN++ resnet_up/resnet_down).
+
+    The two GN->SiLU->conv pairs run through the fused one-round-trip TPU
+    kernel (ops/fused_conv.py) whenever no FIR resample sits between them;
+    param tree matches the unfused modules exactly."""
 
     out_channels: int
     groups: Optional[int]
@@ -311,29 +334,58 @@ class ResnetBlock(nn.Module):
     use_shortcut: Optional[bool] = None
     updown: str = "none"  # "none" | "up" | "down"
 
+    def _gn_conv(self, x, in_ch, norm_name, conv_name):
+        import os
+
+        # Default: unfused flax GN + conv.  XLA folds the normalize multiply
+        # and SiLU into the conv fusions, which measures FASTER end-to-end
+        # than the hand-fused Pallas pair even where the pair wins isolated
+        # (v5e: 167 vs 132 imgs/s DDIM-50) — the pallas_call is a fusion
+        # barrier for the neighboring adds/casts.  VILLAN_FUSED_CONV=1 keeps
+        # the kernel selectable for parts where the balance differs.
+        if os.environ.get("VILLAN_FUSED_CONV") != "1":
+            h = group_norm(
+                x, _auto_groups(in_ch, self.groups), self.eps, norm_name,
+                act=True,
+            )
+            return nn.Conv(
+                self.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
+                param_dtype=jnp.float32, name=conv_name,
+            )(h)
+        from villandiffusion_tpu.ops.fused_conv import gn_silu_conv
+
+        s, b = _Params((in_ch,), nn.initializers.ones, name=norm_name)()
+        k, kb = _Params(
+            (3, 3, in_ch, self.out_channels), nn.initializers.lecun_normal(),
+            names=("kernel", "bias"), bias_shape=(self.out_channels,),
+            name=conv_name,
+        )()
+        return gn_silu_conv(
+            x, s, b, k, kb, _auto_groups(in_ch, self.groups), self.eps
+        )
+
     @nn.compact
     def __call__(self, x, temb):
         in_ch = x.shape[-1]
-        h = group_norm(x, _auto_groups(in_ch, self.groups), self.eps, "norm1", act=True)
-        if self.updown == "down":
-            h = fir_downsample(h)
-            x = fir_downsample(x)
-        elif self.updown == "up":
-            h = fir_upsample(h)
-            x = fir_upsample(x)
-        h = nn.Conv(
-            self.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
-            param_dtype=jnp.float32, name="conv1",
-        )(h)
+        if self.updown == "none":
+            h = self._gn_conv(x, in_ch, "norm1", "conv1")
+        else:
+            h = group_norm(x, _auto_groups(in_ch, self.groups), self.eps, "norm1", act=True)
+            if self.updown == "down":
+                h = fir_downsample(h)
+                x = fir_downsample(x)
+            elif self.updown == "up":
+                h = fir_upsample(h)
+                x = fir_upsample(x)
+            h = nn.Conv(
+                self.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
+                param_dtype=jnp.float32, name="conv1",
+            )(h)
         t = nn.Dense(self.out_channels, param_dtype=jnp.float32, name="time_emb_proj")(
             nn.silu(temb)
         )
         h = h + t.astype(h.dtype)[:, None, None, :]
-        h = group_norm(h, _auto_groups(self.out_channels, self.groups), self.eps, "norm2", act=True)
-        h = nn.Conv(
-            self.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
-            param_dtype=jnp.float32, name="conv2",
-        )(h)
+        h = self._gn_conv(h, self.out_channels, "norm2", "conv2")
         use_sc = self.use_shortcut
         if use_sc is None:
             use_sc = in_ch != self.out_channels or self.updown != "none"
