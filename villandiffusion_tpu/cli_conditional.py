@@ -128,9 +128,40 @@ def build_stack(args) -> SDStack:
             image_size=image_size,
         )
     if os.path.isdir(name):
-        raise NotImplementedError(
-            "Local SD checkpoint loading (unet torch->flax conversion for "
-            "UNet2DConditionModel) lands in a later round; use TINY offline."
+        # diffusers-layout SD checkpoint on local disk: unet/, vae/,
+        # text_encoder/, tokenizer/ (reference loads these from the hub,
+        # viallanDiffusion_conditional.py:1226-1256; no egress here)
+        from villandiffusion_tpu.models.convert_condition import (
+            load_condition_unet_checkpoint,
+        )
+        from villandiffusion_tpu.models.text import load_text_encoder
+        from villandiffusion_tpu.models.vae import load_kl_checkpoint
+
+        lora_rank = args.lora_r if args.use_lora else 0
+        cfg, params = load_condition_unet_checkpoint(
+            os.path.join(name, "unet"), lora_rank=lora_rank
+        )
+        unet = UNet2DCondition(cfg)
+        kl_bundle = load_kl_checkpoint(os.path.join(name, "vae"))
+
+        class _KLPretrained:
+            def encode(self, x, rng=None):
+                z = kl_bundle.model.apply(
+                    kl_bundle.params, x, rng, method=kl_bundle.model.encode
+                )
+                return z * kl_bundle.scaling_factor
+
+            def decode(self, z):
+                return kl_bundle.decode(z)
+
+        text = load_text_encoder(name)
+        tokenizer = get_tokenizer(name)
+        vae_factor = 2 ** (len(kl_bundle.model.block_out_channels) - 1)
+        image_size = args.resolution or cfg.sample_size * vae_factor
+        return SDStack(
+            unet=unet, params=params, vae=_KLPretrained(), text=text,
+            tokenizer=tokenizer, schedule=sd_schedule(),
+            latent_size=image_size // vae_factor, image_size=image_size,
         )
     raise FileNotFoundError(
         f"{name!r}: HF hub unreachable in this environment; pass TINY or a "

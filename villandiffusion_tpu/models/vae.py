@@ -279,7 +279,36 @@ def load_vq_checkpoint(vq_dir: str) -> VAEBundle:
     return VAEBundle(model=model, params=params)
 
 
-def _convert_vq_state_dict(sd, model: VQModelFlax) -> dict:
+def load_kl_checkpoint(vae_dir: str) -> VAEBundle:
+    """Convert a diffusers AutoencoderKL torch checkpoint directory (the
+    vae/ of an SD checkpoint); scaling_factor from config (SD v1: 0.18215)."""
+    import json
+    import os
+
+    import torch
+
+    with open(os.path.join(vae_dir, "config.json")) as f:
+        cfg = json.load(f)
+    sd = torch.load(
+        os.path.join(vae_dir, "diffusion_pytorch_model.bin"),
+        map_location="cpu", weights_only=True,
+    )
+    sd = {k: v.numpy() for k, v in sd.items()}
+    model = AutoencoderKLFlax(
+        block_out_channels=tuple(cfg["block_out_channels"]),
+        layers_per_block=cfg.get("layers_per_block", 2),
+        in_channels=cfg.get("in_channels", 3),
+        out_channels=cfg.get("out_channels", 3),
+        latent_channels=cfg.get("latent_channels", 4),
+    )
+    params = _convert_vq_state_dict(sd, model, has_codebook=False)
+    return VAEBundle(
+        model=model, params=params,
+        scaling_factor=cfg.get("scaling_factor", 0.18215),
+    )
+
+
+def _convert_vq_state_dict(sd, model, has_codebook: bool = True) -> dict:
     tree: dict = {"params": {}}
     p = tree["params"]
 
@@ -349,5 +378,6 @@ def _convert_vq_state_dict(sd, model: VQModelFlax) -> dict:
     conv("decoder.conv_out", ("decoder", "conv_out"))
     conv("quant_conv", ("quant_conv",))
     conv("post_quant_conv", ("post_quant_conv",))
-    p["codebook"] = np.asarray(sd["quantize.embedding.weight"], np.float32)
+    if has_codebook:
+        p["codebook"] = np.asarray(sd["quantize.embedding.weight"], np.float32)
     return tree
