@@ -115,3 +115,53 @@ def test_grad_accumulation():
         state, _ = step(state, batch, jax.random.PRNGKey(i + 1))
     p2 = jax.tree.leaves(state.params)[0]
     assert not np.allclose(p0, p2)
+
+
+def test_fsdp_matches_dp():
+    """ZeRO-3 param sharding: identical loss to replicated DP, params
+    actually sharded over the data axis."""
+    mesh = make_mesh()
+    sched = S.VPSchedule.create(timesteps=50)
+    cfg = UNet2DConfig(
+        in_channels=3, out_channels=3, sample_size=8,
+        block_out_channels=(8, 8),
+        down_block_types=("DownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "UpBlock2D"),
+        layers_per_block=1, norm_num_groups=4,
+    )
+    model = UNet2D(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.default_rng(0).random((8, 8, 8, 3)), jnp.float32)
+    batch = shard_batch(mesh, {"target": np.asarray(x), "pixel_values": np.zeros_like(x)})
+
+    losses = {}
+    states = {}
+    for mode in ("replicated", "fsdp"):
+        trainer = Trainer(
+            apply_fn=model.apply,
+            loss_fn=BackdoorLoss(sched),
+            optimizer=make_optimizer(1e-3),
+            mesh=mesh,
+            compute_dtype=jnp.float32,
+            param_sharding=mode,
+            fsdp_min_size=0,
+        )
+        state = trainer.init_state(params)
+        step = trainer.make_step()
+        state, loss = step(state, batch, jax.random.PRNGKey(1))
+        state, loss = step(state, batch, jax.random.PRNGKey(1))
+        losses[mode] = float(loss)
+        states[mode] = state
+
+    assert np.isclose(losses["replicated"], losses["fsdp"], rtol=1e-5)
+    sharded = any(
+        any(ax is not None for ax in leaf.sharding.spec)
+        for leaf in jax.tree.leaves(states["fsdp"].params)
+    )
+    assert sharded
+    # params after update must agree between the two modes
+    for a, b in zip(
+        jax.tree.leaves(states["replicated"].params),
+        jax.tree.leaves(states["fsdp"].params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -45,3 +45,30 @@ def replicate(mesh: Mesh, tree):
     """Replicate a pytree (params/opt state) across the mesh."""
     sh = replicated_sharding(mesh)
     return jax.device_put(tree, sh)
+
+
+def fsdp_spec(x, mesh: Mesh, min_size: int = 2**16) -> P:
+    """ZeRO-3/FSDP-style PartitionSpec for one param leaf: shard the largest
+    axis divisible by the mesh's data-axis size; small leaves replicate.
+
+    For SD-512-scale models a v5e chip is memory-tight with Adam state in
+    fp32 (SURVEY.md §2 parallelism table: 'optional FSDP for SD-512 if
+    memory-bound'); sharding params+opt state over the data axis trades an
+    all-gather per layer (over ICI) for 1/N memory."""
+    n = mesh.shape[DATA_AXIS]
+    if x.size < min_size:
+        return P()
+    dims = sorted(range(x.ndim), key=lambda d: -x.shape[d])
+    for d in dims:
+        if x.shape[d] % n == 0:
+            spec = [None] * x.ndim
+            spec[d] = DATA_AXIS
+            return P(*spec)
+    return P()
+
+
+def fsdp_sharding(mesh: Mesh, tree, min_size: int = 2**16):
+    """NamedSharding tree for params/opt-state leaves under FSDP."""
+    return jax.tree.map(
+        lambda x: NamedSharding(mesh, fsdp_spec(x, mesh, min_size)), tree
+    )

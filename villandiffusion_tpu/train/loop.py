@@ -75,9 +75,27 @@ class Trainer:
     poison_key: str = "pixel_values"
     vae: object = None                     # optional VAEBundle (LDM path)
     vae_encode: bool = True                # False when batches are pre-encoded latents
+    param_sharding: str = "replicated"     # "replicated" (DP) | "fsdp" (ZeRO-3)
+    fsdp_min_size: int = 2**16             # leaves smaller than this replicate
+
+    def _state_shardings(self, params):
+        """Sharding tree for the TrainState: replicated for plain DP, or
+        per-leaf FSDP specs (largest divisible axis over the data mesh axis);
+        XLA then all-gathers params at use and reduce-scatters grads."""
+        if self.param_sharding != "fsdp":
+            return M.replicated_sharding(self.mesh)
+        shapes = jax.eval_shape(
+            lambda p: TrainState(
+                step=jnp.zeros((), jnp.int32), params=p,
+                opt_state=self.optimizer.init(p),
+            ),
+            params,
+        )
+        return M.fsdp_sharding(self.mesh, shapes, min_size=self.fsdp_min_size)
 
     def init_state(self, params) -> TrainState:
-        repl = M.replicated_sharding(self.mesh)
+        state_sh = self._state_shardings(params)
+        self._cached_state_shardings = state_sh
 
         def make(p):
             return TrainState(
@@ -88,7 +106,7 @@ class Trainer:
 
         # built under the same mesh context as make_step's outputs so the
         # second step call doesn't retrace (aval mesh annotations must match)
-        return jax.jit(make, out_shardings=repl)(params)
+        return jax.jit(make, out_shardings=state_sh)(params)
 
     def _loss(self, params, batch, t, noise):
         cdt = self.compute_dtype
@@ -151,11 +169,17 @@ class Trainer:
         # Pin shardings explicitly: leaving them to be inferred makes the
         # SECOND call recompile (the first call's outputs carry
         # compiler-chosen shardings that differ from the initial host-placed
-        # inputs). state replicated, batch sharded on the data axis.
+        # inputs).  State replicated (DP) or FSDP-sharded; batch on the data
+        # axis either way.
         batch_shardings = {self.target_key: data_sh, self.poison_key: data_sh}
+        if not hasattr(self, "_cached_state_shardings"):
+            if self.param_sharding == "fsdp":
+                raise RuntimeError("call init_state() before make_step() with FSDP")
+            self._cached_state_shardings = repl_sh
+        state_sh = self._cached_state_shardings
         return jax.jit(
             step_fn,
-            in_shardings=(repl_sh, batch_shardings, repl_sh),
-            out_shardings=(repl_sh, repl_sh),
+            in_shardings=(state_sh, batch_shardings, repl_sh),
+            out_shardings=(state_sh, repl_sh),
             donate_argnums=(0,),
         )
