@@ -131,3 +131,36 @@ class TestArgParser:
         # roundtrip load
         c2 = ArgParser.load(Cfg, str(saved))
         assert c2.steps == 99
+
+
+def test_sweep_cli_dry_run(tmp_path):
+    from villandiffusion_tpu.utils.sweep import main
+
+    results = main([
+        "--grid", "cifar10", "--dry_run", "--log_dir", str(tmp_path),
+        "--set", "epoch=1", "poison_rate=[0.1]",
+    ])
+    assert len(results) == 1
+    assert "--epoch" in results[0]["cmd"]
+
+
+def test_latent_builder_cli(tmp_path, monkeypatch):
+    import villandiffusion_tpu.models.vae as V
+    from villandiffusion_tpu.data import latent as LT
+
+    monkeypatch.setattr(
+        V, "load_vae_for",
+        lambda ckpt: V.make_random_vq(
+            block_out_channels=(8, 16), layers_per_block=1, latent_channels=3,
+            num_vq_embeddings=16,
+        ),
+    )
+    out = str(tmp_path / "lat")
+    LT.main([
+        "--dataset", "FAKE32", "--ckpt", "ANY", "--out", out,
+        "--image_size", "16", "--batch_size", "4", "--limit", "8",
+        "--triggers", "BOX_14", "--targets", "CORNER",
+    ])
+    ds = LT.LatentDataset(out).set_poison("BOX_14", "CORNER", poison_rate=0.5)
+    batch = next(iter(ds.get_dataloader(batch_size=4)))
+    assert batch["image"].shape[0] == 4

@@ -132,3 +132,44 @@ class LatentDataset:
                 L.TARGET: np.where(c4, raw, target).astype(np.float32),
                 L.IS_CLEAN: clean,
             }
+
+
+def main(argv=None):
+    """CLI latent-dataset builder (replaces make_latent_dataset.py:411-476):
+    VAE-encode a dataset into per-index latents for raw + each trigger set.
+
+    python -m villandiffusion_tpu.data.latent --dataset CELEBA-HQ \
+        --ckpt LDM-CELEBA-HQ-256 --out datasets/celeba_hq_256_latents \
+        --triggers BOX_14 STOP_SIGN_14 GLASSES --targets FA FEDORA CAT
+    """
+    import argparse
+
+    p = argparse.ArgumentParser(description=main.__doc__)
+    p.add_argument("--dataset", default="CELEBA-HQ")
+    p.add_argument("--ckpt", default="LDM-CELEBA-HQ-256",
+                   help="LDM checkpoint whose VQ-VAE encodes the latents")
+    p.add_argument("--out", required=True)
+    p.add_argument("--image_size", type=int, default=256)
+    p.add_argument("--batch_size", type=int, default=16)
+    # reference default trigger/target pairs (make_latent_dataset.py:430-437)
+    p.add_argument("--triggers", nargs="+",
+                   default=["BOX_14", "STOP_SIGN_14", "GLASSES"])
+    p.add_argument("--targets", nargs="+", default=["FA", "FEDORA", "CAT"])
+    p.add_argument("--limit", type=int, default=None)
+    args = p.parse_args(argv)
+
+    from villandiffusion_tpu.models.vae import load_vae_for
+
+    vae = load_vae_for(args.ckpt)
+    dsl = L.DatasetLoader(args.dataset, image_size=args.image_size)
+    images = dsl.images if args.limit is None else dsl.images[: args.limit]
+    build_latent_dataset(
+        images, vae, args.out,
+        trigger_types=args.triggers, target_types=args.targets,
+        batch_size=args.batch_size,
+    )
+    print(f"latent dataset written to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -124,3 +124,98 @@ CELEBA_HQ_GRID = {
     "target": "CAT",
     "learning_rate": 8e-5,
 }
+
+NCSN_GRID = {
+    # run_score-basde_model_script.py:23-63 (VE score-model backdoor)
+    "mode": "train+measure",
+    "dataset": "CIFAR10",
+    "ckpt": "NCSNPP-CIFAR10-DEFAULT",
+    "sde_type": "SDE-VE",
+    "sched": "SCORE-SDE-VE-SCHED",
+    "batch": 128,
+    "epoch": 30,
+    "poison_rate": 0.98,
+    "psi": 0,
+    "learning_rate": 2e-5,
+    "R_trigger_only": True,
+    "trigger": "STOP_SIGN_14",
+    "target": "CAT",
+}
+
+LDM_GRID = {
+    # run_ldm_celeba_hq_script.py + README.md:91 (latent backdoor)
+    "mode": "train+measure",
+    "dataset": "CELEBA-HQ-LATENT",
+    "ckpt": "LDM-CELEBA-HQ-256",
+    "sde_type": "SDE-LDM",
+    "sched": "UNIPC-SCHED",
+    "infer_steps": 20,
+    "batch": 16,
+    "epoch": 2000,
+    "poison_rate": 0.9,
+    "trigger": "GLASSES",
+    "target": "CAT",
+}
+
+RM_CIFAR10_GRID = {
+    # rm_run_cifar10_script.py (backdoor-removal fine-tuning, 2.1b)
+    **CIFAR10_GRID,
+    "rm_backdoor": True,
+    "poison_rate": 0.1,
+}
+
+MEASURE_INPAINT_GRID = {
+    # run_measure_inpaint.py / run_measure_inpaint2.py
+    "mode": "measure",
+    "dataset": "CIFAR10",
+    "ckpt": "DDPM-CIFAR10-32",
+    "task": ["inpaint_box", "inpaint_line", "denoise"],
+}
+
+GRIDS = {
+    "cifar10": CIFAR10_GRID,
+    "celeba_hq": CELEBA_HQ_GRID,
+    "ncsn": NCSN_GRID,
+    "ldm": LDM_GRID,
+    "rm_cifar10": RM_CIFAR10_GRID,
+    "measure_inpaint": MEASURE_INPAINT_GRID,
+}
+
+
+def main(argv=None):
+    """CLI sweep runner (replaces the reference's run_*.py TaskRunner
+    scripts): --grid <name|path.json> [--module M] [--max_parallel N]."""
+    import argparse
+
+    p = argparse.ArgumentParser(description=main.__doc__)
+    p.add_argument("--grid", required=True,
+                   help=f"named grid ({', '.join(GRIDS)}) or a JSON file")
+    p.add_argument("--module", default="villandiffusion_tpu.cli")
+    p.add_argument("--max_parallel", type=int, default=1)
+    p.add_argument("--dry_run", action="store_true")
+    p.add_argument("--log_dir", default=None)
+    p.add_argument("--set", nargs="*", default=[],
+                   help="overrides: flag=value (value parsed as JSON if possible)")
+    args = p.parse_args(argv)
+    if args.grid in GRIDS:
+        grid = dict(GRIDS[args.grid])
+    else:
+        with open(args.grid) as f:
+            grid = json.load(f)
+    for kv in args.set:
+        k, _, v = kv.partition("=")
+        try:
+            grid[k] = json.loads(v)
+        except json.JSONDecodeError:
+            grid[k] = v
+    results = run_sweep(
+        grid, module=args.module, max_parallel=args.max_parallel,
+        dry_run=args.dry_run, log_dir=args.log_dir,
+    )
+    ok = sum(1 for r in results if r.get("status") in ("ok", "dry"))
+    print(f"sweep: {ok}/{len(results)} points ok")
+    return results
+
+
+if __name__ == "__main__":
+    main()
