@@ -204,3 +204,25 @@ class TestConditionalTraining:
         )
         assert moved
         assert np.mean(losses[-2:]) < np.mean(losses[:2])
+
+
+def test_caption_augment_collate_and_terms():
+    from villandiffusion_tpu.data import caption_loader as CL
+    from villandiffusion_tpu.train import conditional as CT
+
+    tok = CL.HashTokenizer()
+    collate = CL.collate_fn_backdoor_gen(tok, caption_augment=2)
+    batch = {
+        CL.CAPTION: ["a cat", "a dog", "a bird", "a fish"],
+        CL.RAW_CAPTION: ["a cat", "a dog", "a bird", "a fish"],
+    }
+    out = collate(batch)
+    assert CL.caption_augment_key(0) in out and CL.caption_augment_key(1) in out
+    assert out[CL.caption_augment_key(0)].shape == out[CL.CAPTION].shape
+    # aug_0 = captions shifted by 0*gap, aug_1 shifted by gap=2
+    np.testing.assert_array_equal(out[CL.caption_augment_key(0)], out[CL.CAPTION])
+    assert not np.array_equal(out[CL.caption_augment_key(1)], out[CL.CAPTION])
+
+    terms = CT.caption_augment_terms(2, weight=0.5)
+    assert [t.caption_key for t in terms] == ["caption_aug_0", "caption_aug_1"]
+    assert all(t.weight == 0.5 and t.poison_key is None for t in terms)

@@ -52,6 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--train_batch_size", type=int, default=1)
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
     p.add_argument("--prior_loss_weight", type=float, default=1.0)
+    p.add_argument("--caption_augment", "-ca", type=int, default=0,
+                   help="extra (image, shifted-caption) clean loss terms")
+    p.add_argument("--caption_augment_weight", "-caw", type=float, default=1.0)
     p.add_argument("--with_backdoor_prior_preservation", action="store_true", default=True)
     p.add_argument("--image_backdoor", action="store_true", default=False,
                    help="image-trigger backdoor loss instead of caption-only")
@@ -74,7 +77,9 @@ def naming(args) -> str:
     return (
         f"res_{model}_{args.dataset_name}_pr{args.poison_rate}"
         f"_ct{args.caption_trigger}_tr{args.trigger}_ta{args.target}"
-        f"_lr{args.learning_rate}_r{args.lora_r}_step{args.max_train_steps}"
+        + (f"_ca{args.caption_augment}_caw{args.caption_augment_weight}"
+           if args.caption_augment else "")
+        + f"_lr{args.learning_rate}_r{args.lora_r}_step{args.max_train_steps}"
     )
 
 
@@ -220,6 +225,10 @@ def train(args, stack: SDStack, out_dir: str) -> None:
     )
     if not args.with_backdoor_prior_preservation:
         terms = terms[:1]
+    if args.caption_augment > 0:
+        terms = terms + CT.caption_augment_terms(
+            args.caption_augment, args.caption_augment_weight
+        )
     trainer = CT.ConditionalTrainer(
         unet_apply=stack.unet.apply,
         loss=loss,
@@ -249,18 +258,20 @@ def train(args, stack: SDStack, out_dir: str) -> None:
     step_fn = trainer.make_step()
     logger = MetricsLogger(out_dir)
 
-    tok_collate = CL.collate_fn_backdoor_gen(stack.tokenizer)
+    tok_collate = CL.collate_fn_backdoor_gen(
+        stack.tokenizer, caption_augment=args.caption_augment
+    )
     dsl = get_dataset(args)
+    batch_keys = [CL.RAW, CL.IMAGE, CL.POISON_IMAGE, CL.CAPTION, CL.RAW_CAPTION] + [
+        CL.caption_augment_key(i) for i in range(args.caption_augment)
+    ]
     rng = jax.random.PRNGKey(args.seed or 0)
     step = int(state.step)
     epoch = 0
     while step < args.max_train_steps:
         for raw in dsl.get_dataloader(epoch_seed=epoch):
             batch = tok_collate(raw)
-            device_batch = {
-                k: jnp.asarray(batch[k])
-                for k in (CL.RAW, CL.IMAGE, CL.POISON_IMAGE, CL.CAPTION, CL.RAW_CAPTION)
-            }
+            device_batch = {k: jnp.asarray(batch[k]) for k in batch_keys}
             state, lval = step_fn(state, device_batch, rng)
             step = int(state.step)
             if step % 50 == 0 or step == 1:

@@ -301,15 +301,34 @@ class HashTokenizer:
         return {"input_ids": ids}
 
 
-def collate_fn_backdoor_gen(tokenizer, max_length: int = 77) -> Callable:
+def caption_augment_key(idx: int) -> str:
+    """caption_dataset.py:579-580."""
+    return f"caption_aug_{idx}"
+
+
+def collate_fn_backdoor_gen(
+    tokenizer, max_length: int = 77, caption_augment: int = 0
+) -> Callable:
     """Tokenizing collate: caption/raw_caption -> token-id arrays
-    (caption_dataset.py:1158-1184)."""
+    (caption_dataset.py:1158-1184).  With caption_augment > 0, adds
+    ``caption_aug_{i}`` keys holding captions shifted across the batch
+    (caption_dataset.py:583-585's gap sampling) — extra clean loss terms
+    pairing each image with OTHER images' captions."""
 
     def collate(batch: Dict) -> Dict:
         out = dict(batch)
         for key in (CAPTION, RAW_CAPTION):
             toks = tokenizer(batch[key])
             out[key] = np.asarray(toks["input_ids"], np.int32)
+        if caption_augment > 0:
+            caps = list(batch[CAPTION])
+            n = len(caps)
+            gap = max(n // caption_augment, 1)
+            for i in range(caption_augment):
+                shifted = [caps[(gap * i + r) % n] for r in range(n)]
+                out[caption_augment_key(i)] = np.asarray(
+                    tokenizer(shifted)["input_ids"], np.int32
+                )
         return out
 
     return collate

@@ -142,6 +142,17 @@ def clean_terms() -> List[LossTerm]:
     return [LossTerm(CL.RAW, CL.RAW_CAPTION, 1.0)]
 
 
+def caption_augment_terms(n: int, weight: float = 1.0) -> List[LossTerm]:
+    """Extra clean terms pairing each image with shifted captions
+    (viallanDiffusion_conditional.py:1067-1074: one term per caption_aug_{i}
+    key, image latents + augmented caption, no backdoor)."""
+    from villandiffusion_tpu.data import caption_loader as CL
+
+    return [
+        LossTerm(CL.IMAGE, CL.caption_augment_key(i), weight) for i in range(n)
+    ]
+
+
 def make_lora_optimizer(
     params,
     learning_rate: float = 1e-4,
