@@ -191,14 +191,28 @@ def _batched_generate(
         return IMG.load_images(out_dir, limit=n)
     outs = []
     cnt = 0
+    pending = None  # (device images, start_cnt) not yet fetched/written
+
+    def flush(p):
+        imgs = np.asarray(p[0])  # blocks only when the device batch is done
+        IMG.save_images(imgs, out_dir, start_cnt=p[1])
+        outs.append(imgs)
+
     for lo in range(0, n, max_batch):
         hi = min(lo + max_batch, n)
+        # dispatch this batch BEFORE fetching/writing the previous one:
+        # jax dispatch is async, so host PNG encoding (native threaded codec)
+        # overlaps the device's compute of the next batch
         out = pipeline(
-            init=init[lo:hi], num_inference_steps=steps, rng=jax.random.fold_in(rng, lo)
+            init=init[lo:hi], num_inference_steps=steps,
+            rng=jax.random.fold_in(rng, lo), host=False,
         )
-        IMG.save_images(out.images, out_dir, start_cnt=cnt)
-        outs.append(out.images)
+        if pending is not None:
+            flush(pending)
+        pending = (out.images, cnt)
         cnt += hi - lo
+    if pending is not None:
+        flush(pending)
     return np.concatenate(outs, axis=0)
 
 

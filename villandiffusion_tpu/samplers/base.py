@@ -161,6 +161,7 @@ class DiffusionPipeline:
         output_type: Optional[str] = None,
         rng: Optional[jax.Array] = None,
         generator: Optional[jax.Array] = None,
+        host: bool = True,
     ) -> SamplerOutput:
         rng = rng if rng is not None else (generator if generator is not None else jax.random.PRNGKey(0))
         if eta is not None and hasattr(self.sampler, "eta"):
@@ -178,7 +179,11 @@ class DiffusionPipeline:
         init = jnp.asarray(init) * self.sampler.init_latent_scale()
         run = self._compiled_run(int(num_inference_steps), int(start_from), bool(save_every_step))
         images, ys = run(self.params, init, rng)
-        images = np.asarray(jax.device_get(images))
+        if host:
+            # blocks on the device; host=False instead returns the live
+            # device array so callers can dispatch the NEXT batch before
+            # fetching this one (compute/IO pipelining in the measure loop)
+            images = np.asarray(jax.device_get(images))
         movie = None
         if save_every_step:
             ys = np.asarray(jax.device_get(ys))
