@@ -103,21 +103,33 @@ def batch_sampling_save(
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     outs = []
     cnt = 0
+    pending = None  # (device images, real, start_cnt)
+
+    def flush(p):
+        imgs = np.asarray(p[0])[: p[1]]
+        IMG.save_images(imgs, out_dir, start_cnt=p[2])
+        outs.append(imgs)
+
     for lo in range(0, n, max_batch):
         batch = list(prompts[lo : lo + max_batch])
         real = len(batch)
         # pad every chunk to max_batch: ONE compiled shape serves the whole
         # measure matrix regardless of split sizes
         batch = batch + [batch[-1]] * (max_batch - real)
+        # dispatch before fetching the previous chunk: host PNG encoding
+        # overlaps the device's next denoise scan
         out = pipeline(
             prompt=batch,
             num_inference_steps=num_inference_steps,
             rng=jax.random.fold_in(rng, lo),
+            host=False,
         )
-        imgs = out.images[:real]
-        IMG.save_images(imgs, out_dir, start_cnt=cnt)
-        outs.append(imgs)
+        if pending is not None:
+            flush(pending)
+        pending = (out.images, real, cnt)
         cnt += real
+    if pending is not None:
+        flush(pending)
     return np.concatenate(outs, axis=0)
 
 

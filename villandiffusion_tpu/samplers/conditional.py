@@ -84,6 +84,7 @@ class ConditionalPipeline:
         init: Optional[jnp.ndarray] = None,
         rng: Optional[jax.Array] = None,
         save_every_step: bool = False,
+        host: bool = True,
     ) -> SamplerOutput:
         if isinstance(prompt, str):
             prompt = [prompt]
@@ -99,4 +100,5 @@ class ConditionalPipeline:
             init=latents if latents is not None else init,
             rng=rng,
             save_every_step=save_every_step,
+            host=host,
         )
