@@ -50,3 +50,27 @@ def test_block_sizes():
     assert A._block_sizes(1024, 64) == (1024, 1024)
     assert A._block_sizes(4096, 64) == (512, 512)
     assert A._block_sizes(2048, 32) == (512, 512)
+
+
+def _interpreted_packed(q, k, v, n_heads):
+    from unittest import mock
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+    with mock.patch.object(
+        pl, "pallas_call", functools.partial(orig, interpret=True)
+    ):
+        return A._pallas_attention_packed.__wrapped__(q, k, v, n_heads)
+
+
+@pytest.mark.parametrize("B,T,heads", [(16, 64, 1), (6, 256, 4), (3, 128, 1)])
+def test_packed_matches_xla(B, T, heads):
+    """The small-T packed kernel (several batch rows per grid step) must
+    reproduce the XLA softmax attention, including when B*H is not a
+    multiple of the preferred packing factor."""
+    rng = np.random.default_rng(2)
+    C = 64
+    q, k, v = (jnp.asarray(rng.standard_normal((B, T, C)), jnp.float32) for _ in range(3))
+    ref = A.xla_attention(q, k, v, heads)
+    out = _interpreted_packed(q, k, v, heads)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)

@@ -35,6 +35,22 @@ def tiny_config(**kw):
     return UNet2DConfig(**base)
 
 
+class TestUpsample:
+    def test_dilated_equals_naive(self, monkeypatch):
+        """The base-dilated transposed-conv formulation must reproduce
+        nearest-2x + 3x3 conv exactly (fp32)."""
+        from villandiffusion_tpu.models.unet2d import Upsample
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 32), jnp.float32)
+        m = Upsample(channels=24)
+        params = m.init(jax.random.PRNGKey(1), x)
+        y_dilated = m.apply(params, x)
+        monkeypatch.setenv("VILLAN_UPSAMPLE_NAIVE", "1")
+        y_naive = m.apply(params, x)
+        assert y_dilated.shape == (2, 32, 32, 24)
+        assert jnp.max(jnp.abs(y_dilated - y_naive)) < 1e-4
+
+
 class TestUNetForward:
     def test_shapes_and_determinism(self):
         model, params = tiny_model_and_params()

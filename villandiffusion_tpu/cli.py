@@ -202,10 +202,13 @@ def _batched_generate(
         hi = min(lo + max_batch, n)
         # dispatch this batch BEFORE fetching/writing the previous one:
         # jax dispatch is async, so host PNG encoding (native threaded codec)
-        # overlaps the device's compute of the next batch
+        # overlaps the device's compute of the next batch.  uint8 output is
+        # quantized on-device (4x smaller device->host fetch) and is exactly
+        # what the PNGs hold — the reference computes metrics from the PNGs
+        # (VillanDiffusion.py:1063-1078), so u8 matches its protocol.
         out = pipeline(
             init=init[lo:hi], num_inference_steps=steps,
-            rng=jax.random.fold_in(rng, lo), host=False,
+            rng=jax.random.fold_in(rng, lo), host=False, output_type="uint8",
         )
         if pending is not None:
             flush(pending)
@@ -213,7 +216,7 @@ def _batched_generate(
         cnt += hi - lo
     if pending is not None:
         flush(pending)
-    return np.concatenate(outs, axis=0)
+    return np.concatenate(outs, axis=0).astype(np.float32) / 255.0
 
 
 def update_score_file(config: C.TrainingConfig, scores: Dict[str, float]) -> Dict:
@@ -410,8 +413,12 @@ def train_loop(
 
 
 def _setup_runtime():
-    from villandiffusion_tpu.utils.jaxruntime import setup_jax_cache
+    from villandiffusion_tpu.utils.jaxruntime import (
+        respect_jax_platforms_env,
+        setup_jax_cache,
+    )
 
+    respect_jax_platforms_env()
     setup_jax_cache()
 
 

@@ -307,8 +307,12 @@ def make_pipeline(args, stack: SDStack, out_dir: str):
 
 
 def _setup_runtime():
-    from villandiffusion_tpu.utils.jaxruntime import setup_jax_cache
+    from villandiffusion_tpu.utils.jaxruntime import (
+        respect_jax_platforms_env,
+        setup_jax_cache,
+    )
 
+    respect_jax_platforms_env()
     setup_jax_cache()
 
 

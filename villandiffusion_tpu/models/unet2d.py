@@ -439,16 +439,49 @@ class Downsample(nn.Module):
 
 
 class Upsample(nn.Module):
+    """nearest-2x upsample followed by a 3x3 conv (diffusers Upsample2D).
+
+    Computed as ONE base-dilated (transposed) convolution: nearest-2x equals
+    zero-stuffing convolved with ones(2,2), and convolution is associative,
+    so  conv3x3(nearest(x), W) == conv(x, W4, lhs_dilation=2, pad=2)  with
+    W4[u,v] = sum_{dy,dx in {0,1}} W[u-dy, v-dx]  (a 4x4 kernel).  XLA:TPU's
+    convolution emitter handles base dilation natively (it skips the stuffed
+    zeros), so this runs at 4/9 of the naive FLOPs with no upsampled
+    intermediate in HBM and no interleave shuffle: 3.5 ms vs 7.9 ms in-scan
+    at the up_2 shape (B=512, 16->32 @ C=256, v5e).  Math is exact; param
+    tree is identical to the naive path (VILLAN_UPSAMPLE_NAIVE=1 restores
+    it)."""
+
     channels: int
 
     @nn.compact
     def __call__(self, x):
+        import os
+
         B, H, W, C = x.shape
-        x = jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
-        return nn.Conv(
-            self.channels, (3, 3), padding=[(1, 1), (1, 1)],
+        F = self.channels
+        conv = nn.Conv(
+            F, (3, 3), padding=[(1, 1), (1, 1)],
             param_dtype=jnp.float32, name="conv",
-        )(x)
+        )
+        params = self.variables.get("params", {})
+        if os.environ.get("VILLAN_UPSAMPLE_NAIVE") == "1" or "conv" not in params:
+            # naive path; also taken once at init so the param tree exists
+            up = jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
+            return conv(up)
+        W3 = params["conv"]["kernel"].astype(jnp.float32)
+        bias = params["conv"]["bias"]
+        W4 = jnp.zeros((4, 4) + W3.shape[2:], jnp.float32)
+        for dy in (0, 1):
+            for dx in (0, 1):
+                W4 = W4.at[dy:dy + 3, dx:dx + 3].add(W3)
+        W4 = W4.astype(x.dtype)
+        y = jax.lax.conv_general_dilated(
+            x, W4, window_strides=(1, 1), padding=[(2, 2), (2, 2)],
+            lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + bias.astype(y.dtype)
 
 
 # ---------------------------------------------------------------------------

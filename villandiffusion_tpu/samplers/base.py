@@ -119,7 +119,7 @@ class DiffusionPipeline:
         return jnp.clip(x, 0.0, 1.0)
 
     @functools.lru_cache(maxsize=32)
-    def _compiled_run(self, num_inference_steps: int, start_from: int, save_every_step: bool):
+    def _compiled_run(self, num_inference_steps: int, start_from: int, save_every_step: bool, uint8: bool = False):
         sampler = self.sampler
         n_iters = len(sampler.timesteps(num_inference_steps))
 
@@ -146,7 +146,14 @@ class DiffusionPipeline:
                 return (x_next, carry, key), y
 
             (x_final, _, _), ys = jax.lax.scan(body, (x, carry0, rng), idxs)
-            return self._to_images(x_final), ys
+            images = self._to_images(x_final)
+            if uint8:
+                # quantize on-device: the measure path writes PNGs (u8) and
+                # the reference computes metrics FROM those PNGs, so u8 is
+                # the contract-exact output — and it fetches 4x fewer bytes
+                # over the host link than f32
+                images = jnp.round(images * 255.0).astype(jnp.uint8)
+            return images, ys
 
         return jax.jit(run)
 
@@ -177,7 +184,10 @@ class DiffusionPipeline:
         # scaled by the scheduler's init_noise_sigma (1.0 for the VP family,
         # so backdoor `noise + trigger` inits are unaffected there).
         init = jnp.asarray(init) * self.sampler.init_latent_scale()
-        run = self._compiled_run(int(num_inference_steps), int(start_from), bool(save_every_step))
+        uint8 = output_type in ("uint8", "u8")
+        run = self._compiled_run(
+            int(num_inference_steps), int(start_from), bool(save_every_step), uint8
+        )
         images, ys = run(self.params, init, rng)
         if host:
             # blocks on the device; host=False instead returns the live

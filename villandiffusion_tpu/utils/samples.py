@@ -11,7 +11,9 @@ from PIL import Image
 
 
 def to_uint8(images: np.ndarray) -> np.ndarray:
-    """float [0,1] NHWC -> uint8."""
+    """float [0,1] NHWC -> uint8 (pass-through for already-quantized u8)."""
+    if images.dtype == np.uint8:
+        return images
     return (np.clip(images, 0.0, 1.0) * 255).round().astype(np.uint8)
 
 
