@@ -1,0 +1,91 @@
+"""Sampler-sweep throughput on the real chip: every reference solver at its
+recommended step count (README.md:60 — 50 for DDPM/DDIM/PNDM/HEUN/LMSD, 20
+for the multistep family), CIFAR10-32 UNet, batch 512, bf16, pipelined
+dispatch (see BASELINE.md / memory: the axon host link requires overlapping
+fetches with compute).
+
+Writes a markdown table to stdout and JSON to sweep_logs/sampler_bench.json.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from villandiffusion_tpu import factory as F
+from villandiffusion_tpu.core import schedules as S
+
+BATCH = 512
+VP_GRID = [
+    ("DDPM-SCHED", 50),
+    ("DDIM-SCHED", 50),
+    ("PNDM-SCHED", 50),
+    ("HEUN-SCHED", 50),
+    ("LMSD-SCHED", 50),
+    ("DPM_SOLVER_PP_O1-SCHED", 20),
+    ("DPM_SOLVER_O1-SCHED", 20),
+    ("DPM_SOLVER_PP_O2-SCHED", 20),
+    ("DPM_SOLVER_O2-SCHED", 20),
+    ("DPM_SOLVER_PP_O3-SCHED", 20),
+    ("DPM_SOLVER_O3-SCHED", 20),
+    ("UNIPC-SCHED", 20),
+    ("DEIS-SCHED", 20),
+]
+VE_GRID = [
+    ("SCORE-SDE-VE-SCHED", 1000),
+    ("EDM-VE-SCHED", 20),
+    ("EDM-VE-SDE-SCHED", 20),
+    ("EDM-VE-ODE-SCHED", 20),
+]
+
+
+def bench_pipe(pipe, steps, n_rep=3):
+    pipe(batch_size=BATCH, num_inference_steps=steps,
+         rng=jax.random.PRNGKey(0), output_type="uint8")
+    t0 = time.perf_counter()
+    pending = [
+        pipe(batch_size=BATCH, num_inference_steps=steps,
+             rng=jax.random.PRNGKey(i), output_type="uint8", host=False).images
+        for i in range(n_rep)
+    ]
+    for p in pending:
+        np.asarray(p)
+    dt = (time.perf_counter() - t0) / n_rep
+    return BATCH / dt
+
+
+def main():
+    results = {}
+
+    vp = F.get_model_sched(
+        image_size=32, channels=3, ckpt="DDPM-CIFAR10-DEFAULT",
+        sde_type=S.SDE_VP,
+    )
+    for name, steps in VP_GRID:
+        pipe = vp.make_pipeline(sched_name=name, compute_dtype=jnp.bfloat16)
+        ips = bench_pipe(pipe, steps)
+        results[f"{name}-{steps}"] = round(ips, 1)
+        print(f"| {name} | {steps} | {ips:.1f} |", flush=True)
+
+    ve = F.get_model_sched(
+        image_size=32, channels=3, ckpt="NCSNPP-32-DEFAULT",
+        sde_type=S.SDE_VE,
+    )
+    for name, steps in VE_GRID:
+        pipe = ve.make_pipeline(sched_name=name, compute_dtype=jnp.bfloat16)
+        ips = bench_pipe(pipe, steps, n_rep=1 if steps >= 1000 else 3)
+        results[f"{name}-{steps}"] = round(ips, 1)
+        print(f"| {name} | {steps} | {ips:.1f} |", flush=True)
+
+    with open("sweep_logs/sampler_bench.json", "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -21,6 +21,7 @@ Split-mode parity (FIXED / FLEX / EXTEND / NONE):
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, Iterator, List, Optional
 
 import numpy as np
@@ -148,6 +149,10 @@ class DatasetLoader:
             raise ValueError(f"image_size/channel required for dataset {name!r}")
 
         if name in (FAKE32, FAKE256):
+            # $VILLAN_FAKE_N overrides the synthetic example count so the
+            # offline FAKE* datasets can stand in for CIFAR10-scale runs
+            # (50k examples) in canonical-config benchmarks
+            num_fake = int(os.environ.get("VILLAN_FAKE_N", num_fake))
             self._images = _synthetic_images(
                 num_fake, self._image_size, self._channel, seed
             )

@@ -118,11 +118,14 @@ def batch_sampling_save(
         batch = batch + [batch[-1]] * (max_batch - real)
         # dispatch before fetching the previous chunk: host PNG encoding
         # overlaps the device's next denoise scan
+        # uint8 output: quantized on-device (4x smaller device->host fetch);
+        # the PNGs the metrics read are u8 anyway
         out = pipeline(
             prompt=batch,
             num_inference_steps=num_inference_steps,
             rng=jax.random.fold_in(rng, lo),
             host=False,
+            output_type="uint8",
         )
         if pending is not None:
             flush(pending)
@@ -130,7 +133,7 @@ def batch_sampling_save(
         cnt += real
     if pending is not None:
         flush(pending)
-    return np.concatenate(outs, axis=0)
+    return np.concatenate(outs, axis=0).astype(np.float32) / 255.0
 
 
 @dataclasses.dataclass

@@ -394,7 +394,10 @@ class ResnetBlock(nn.Module):
                 self.out_channels, (1, 1), param_dtype=jnp.float32,
                 name="conv_shortcut",
             )(x)
-        return (x + h) / self.output_scale_factor
+        # NB: scale as a plain python float — an np.float64 scalar is a
+        # strong dtype in jax and would silently promote the whole residual
+        # stream to fp32 (2x HBM traffic; this bit the NCSN++ sqrt(2) path)
+        return (x + h) / float(self.output_scale_factor)
 
 
 class AttentionBlock(nn.Module):
@@ -417,7 +420,7 @@ class AttentionBlock(nn.Module):
         out = spatial_attention(q, k, v, n_heads)
         out = nn.Dense(C, param_dtype=jnp.float32, name="proj_attn")(out)
         out = out.reshape(B, H, W, C)
-        return (x + out) / self.rescale_output_factor
+        return (x + out) / float(self.rescale_output_factor)
 
 
 class Downsample(nn.Module):

@@ -112,8 +112,16 @@ def _pallas_attention_packed(q, k, v, n_heads):
     hd = C // n_heads
     scale = 1.0 / np.sqrt(hd)
     BH = B * n_heads
+    # pick the packing factor from a VMEM budget: double-buffered q/k/v/o
+    # blocks at the input dtype plus the fp32 logits tile and its exp temp
+    # must stay under the ~16 MB scoped limit (fp32 inputs at T=256 OOM'd
+    # with a fixed G=8)
+    itemsize = jnp.dtype(q.dtype).itemsize
     G = 8
-    while BH % G:
+    while G > 1 and (
+        BH % G or
+        2 * 4 * G * T * hd * itemsize + 2 * G * T * T * 4 > 10 * 1024 * 1024
+    ):
         G //= 2
 
     def split(x):

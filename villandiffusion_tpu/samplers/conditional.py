@@ -85,6 +85,7 @@ class ConditionalPipeline:
         rng: Optional[jax.Array] = None,
         save_every_step: bool = False,
         host: bool = True,
+        output_type: Optional[str] = None,
     ) -> SamplerOutput:
         if isinstance(prompt, str):
             prompt = [prompt]
@@ -101,4 +102,5 @@ class ConditionalPipeline:
             rng=rng,
             save_every_step=save_every_step,
             host=host,
+            output_type=output_type,
         )
