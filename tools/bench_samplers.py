@@ -36,37 +36,41 @@ VP_GRID = [
     ("UNIPC-SCHED", 20),
     ("DEIS-SCHED", 20),
 ]
+# VE: batch per solver — a 1000-step score-SDE PC scan (2000 NCSN++ evals)
+# at batch 512 is a single multi-minute device dispatch, which crashes the
+# tunneled worker (watchdog). Keep each dispatch under ~1 min.
 VE_GRID = [
-    ("SCORE-SDE-VE-SCHED", 1000),
-    ("EDM-VE-SCHED", 20),
-    ("EDM-VE-SDE-SCHED", 20),
-    ("EDM-VE-ODE-SCHED", 20),
+    ("SCORE-SDE-VE-SCHED", 1000, 64),
+    ("EDM-VE-SCHED", 20, 256),
+    ("EDM-VE-SDE-SCHED", 20, 256),
+    ("EDM-VE-ODE-SCHED", 20, 256),
 ]
 
 
-def bench_pipe(pipe, steps, n_rep=3):
-    pipe(batch_size=BATCH, num_inference_steps=steps,
+def bench_pipe(pipe, steps, n_rep=3, batch=BATCH):
+    pipe(batch_size=batch, num_inference_steps=steps,
          rng=jax.random.PRNGKey(0), output_type="uint8")
     t0 = time.perf_counter()
     pending = [
-        pipe(batch_size=BATCH, num_inference_steps=steps,
+        pipe(batch_size=batch, num_inference_steps=steps,
              rng=jax.random.PRNGKey(i), output_type="uint8", host=False).images
         for i in range(n_rep)
     ]
     for p in pending:
         np.asarray(p)
     dt = (time.perf_counter() - t0) / n_rep
-    return BATCH / dt
+    return batch / dt
 
 
 def main():
     results = {}
+    only = os.environ.get("VILLAN_BENCH_ONLY", "")  # "vp" | "ve" | ""
 
     vp = F.get_model_sched(
         image_size=32, channels=3, ckpt="DDPM-CIFAR10-DEFAULT",
         sde_type=S.SDE_VP,
     )
-    for name, steps in VP_GRID:
+    for name, steps in VP_GRID if only != "ve" else []:
         pipe = vp.make_pipeline(sched_name=name, compute_dtype=jnp.bfloat16)
         ips = bench_pipe(pipe, steps)
         results[f"{name}-{steps}"] = round(ips, 1)
@@ -76,13 +80,18 @@ def main():
         image_size=32, channels=3, ckpt="NCSNPP-32-DEFAULT",
         sde_type=S.SDE_VE,
     )
-    for name, steps in VE_GRID:
+    for name, steps, batch in VE_GRID if only != "vp" else []:
         pipe = ve.make_pipeline(sched_name=name, compute_dtype=jnp.bfloat16)
-        ips = bench_pipe(pipe, steps, n_rep=1 if steps >= 1000 else 3)
+        ips = bench_pipe(pipe, steps, n_rep=1 if steps >= 1000 else 3,
+                         batch=batch)
         results[f"{name}-{steps}"] = round(ips, 1)
         print(f"| {name} | {steps} | {ips:.1f} |", flush=True)
 
-    with open("sweep_logs/sampler_bench.json", "w") as f:
+    path = "sweep_logs/sampler_bench.json"
+    if os.path.exists(path):
+        with open(path) as f:
+            results = {**json.load(f), **results}
+    with open(path, "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results))
 
