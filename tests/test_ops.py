@@ -74,3 +74,20 @@ def test_packed_matches_xla(B, T, heads):
     ref = A.xla_attention(q, k, v, heads)
     out = _interpreted_packed(q, k, v, heads)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_packing_factor_vmem_budget():
+    """G must divide B*H and keep double-buffered q/k/v/o blocks plus the
+    fp32 logits tile under the VMEM budget; the fp32 T=256 case must drop
+    below 8 rows (a fixed G=8 OOM'd on v5e)."""
+    # bf16 CIFAR hot shape: full packing
+    assert A._packing_factor(512 * 1, 256, 256, 2) == 8
+    # fp32 at T=256, hd=256: logits tile forces G down
+    g32 = A._packing_factor(512, 256, 256, 4)
+    assert g32 < 8
+    blocks = 2 * 4 * g32 * 256 * 256 * 4 + 2 * g32 * 256 * 256 * 4
+    assert blocks <= 14 * 1024 * 1024
+    # divisibility: BH=6 can only pack 2
+    assert A._packing_factor(6, 64, 64, 4) == 2
+    # degenerate: BH prime -> G=1 always works
+    assert A._packing_factor(7, 512, 64, 4) == 1

@@ -179,3 +179,34 @@ class TestDatasetLoader:
         dsl = self._dsl()
         batch = next(iter(dsl.get_dataloader(batch_size=16)))
         assert batch[L.IMAGE].min() >= -1.0 and batch[L.IMAGE].max() <= 1.0
+
+
+def test_device_materializer_matches_host_pipeline():
+    """The device-side (jit) poisoner fed by get_raw_dataloader must produce
+    exactly the {target, pixel_values} the host materializer produces for the
+    same epoch seed (same shuffle + flip RNG stream)."""
+    import jax
+
+    from villandiffusion_tpu.core import poison as P
+    from villandiffusion_tpu.data import loader as L
+
+    dsl = (
+        L.DatasetLoader(L.FAKE32, num_fake=64, batch_size=16, seed=3)
+        .set_poison("BOX_14", "CORNER", poison_rate=0.4)
+        .prepare_dataset(mode="FIXED", R_trigger_only=False)
+    )
+    mat = jax.jit(
+        P.make_device_materializer(dsl.trigger, dsl.target, dsl.vmin, dsl.vmax)
+    )
+    host = list(dsl.get_dataloader(epoch_seed=7))
+    raw = list(dsl.get_raw_dataloader(epoch_seed=7))
+    assert len(host) == len(raw) == 4
+    for hb, rb in zip(host, raw):
+        db = mat(rb)
+        np.testing.assert_allclose(
+            np.asarray(db["target"]), hb[L.TARGET], atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(db["pixel_values"]), hb[L.PIXEL_VALUES], atol=1e-6
+        )
+        np.testing.assert_allclose(np.asarray(db["image"]), hb[L.IMAGE], atol=1e-6)

@@ -22,6 +22,7 @@ import numpy as np
 
 from villandiffusion_tpu import config as C
 from villandiffusion_tpu import factory as F
+from villandiffusion_tpu.core import poison as P
 from villandiffusion_tpu.core import schedules as S
 from villandiffusion_tpu.data import loader as L
 from villandiffusion_tpu.eval import Metric
@@ -356,6 +357,18 @@ def train_loop(
         start_epoch = int((extra or {}).get("epoch", 0)) + 1
         Log.info(f"resumed from step {step0}, starting epoch {start_epoch}")
 
+    # Device-side poisoning for pixel-space training: ship uint8 pixels +
+    # flags, materialize {target, pixel_values} inside the jitted step
+    # (~10x less host->device traffic; essential on slow host links).
+    use_raw = (
+        trainer.vae is None
+        and hasattr(dsl, "get_raw_dataloader")
+        and dsl.trigger is not None
+    )
+    if use_raw:
+        trainer.batch_transform = P.make_device_materializer(
+            dsl.trigger, dsl.target, dsl.vmin, dsl.vmax
+        )
     step_fn = trainer.make_step()
 
     def save_everything(epoch: int) -> None:
@@ -376,23 +389,35 @@ def train_loop(
         if start_epoch == 0:
             do_sampling(0)
         for epoch in range(start_epoch, config.epoch):
-            losses = []
-            for batch in dsl.get_dataloader(epoch_seed=epoch):
-                key = "image" if config.rm_backdoor else "target"
-                device_batch = shard_batch(
-                    mesh,
-                    {
-                        key: batch[L.IMAGE if config.rm_backdoor else L.TARGET],
-                        "pixel_values": batch[L.PIXEL_VALUES],
-                    },
-                )
+            # accumulate the epoch-mean loss on device; fetching per step
+            # would serialize dispatch on the host link round-trip
+            loss_sum, n_steps = None, 0
+            batches = (
+                dsl.get_raw_dataloader(epoch_seed=epoch)
+                if use_raw
+                else dsl.get_dataloader(epoch_seed=epoch)
+            )
+            for batch in batches:
+                if use_raw:
+                    device_batch = shard_batch(mesh, dict(batch))
+                else:
+                    key = "image" if config.rm_backdoor else "target"
+                    device_batch = shard_batch(
+                        mesh,
+                        {
+                            key: batch[L.IMAGE if config.rm_backdoor else L.TARGET],
+                            "pixel_values": batch[L.PIXEL_VALUES],
+                        },
+                    )
                 state, loss = step_fn(state, device_batch, rng)
-                losses.append(float(loss))
+                loss_sum = loss if loss_sum is None else loss_sum + loss
+                n_steps += 1
+            mean_loss = float(loss_sum) / max(n_steps, 1)
             logger.log(
-                {"loss": float(np.mean(losses)), "epoch": epoch}, step=int(state.step)
+                {"loss": mean_loss, "epoch": epoch}, step=int(state.step)
             )
             Log.info(
-                f"epoch {epoch}: loss {np.mean(losses):.5f} (step {int(state.step)})"
+                f"epoch {epoch}: loss {mean_loss:.5f} (step {int(state.step)})"
             )
             if (epoch + 1) % config.save_image_epochs == 0 or epoch == config.epoch - 1:
                 do_sampling(epoch)

@@ -68,6 +68,13 @@ def _synthetic_images(n: int, size: int, channel: int, seed: int) -> np.ndarray:
     Structured (not iid noise) so FID/MSE pipelines see non-degenerate
     statistics in tests.
     """
+    cache = None
+    if n * size * size * channel >= 2**24:  # cache big synthetic sets (>16MB)
+        cache_dir = os.environ.get("VILLAN_CACHE", "/tmp/villan_cache")
+        os.makedirs(cache_dir, exist_ok=True)
+        cache = os.path.join(cache_dir, f"fake_{n}_{size}_{channel}_{seed}.npy")
+        if os.path.exists(cache):
+            return np.load(cache)
     rng = np.random.default_rng(seed)
     yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
     imgs = np.empty((n, size, size, channel), dtype=np.uint8)
@@ -79,6 +86,8 @@ def _synthetic_images(n: int, size: int, channel: int, seed: int) -> np.ndarray:
         for c in range(channel):
             v = 0.5 + 0.3 * np.sin(2 * np.pi * freq[c] * (xx + yy) + phase[c]) + 0.4 * blob
             imgs[i, :, :, c] = np.clip(v * 255, 0, 255).astype(np.uint8)
+    if cache is not None:
+        np.save(cache, imgs)
     return imgs
 
 
@@ -324,6 +333,39 @@ class DatasetLoader:
         for lo in range(0, stop, bs):
             sel = order[lo : lo + bs]
             yield self._materialize(sel, flip[lo : lo + bs])
+
+    def get_raw_dataloader(
+        self,
+        batch_size: Optional[int] = None,
+        shuffle: Optional[bool] = None,
+        drop_last: bool = True,
+        epoch_seed: int = 0,
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        """One epoch of *raw* batches for the device-side poisoner: uint8
+        pixels + 1-byte flags (~10x less host->device traffic than the
+        materialized float32 dict).  Pair with
+        ``core.poison.make_device_materializer(self.trigger, self.target,
+        vmin, vmax)`` inside the jitted train step; the flip bits use the
+        same per-epoch host RNG stream as ``get_dataloader``."""
+        if self._entries is None:
+            raise RuntimeError("call prepare_dataset() first")
+        if self._trigger is None:
+            raise RuntimeError("raw dataloader requires set_poison()")
+        bs = batch_size or self._batch_size
+        e = self._entries
+        n = len(e.src)
+        rng = np.random.default_rng((self._seed, epoch_seed))
+        order = rng.permutation(n) if (self._shuffle if shuffle is None else shuffle) else np.arange(n)
+        flip = rng.random(n) < 0.5 if self._flip else np.zeros(n, dtype=bool)
+        stop = n - (n % bs) if drop_last and n >= bs else n
+        for lo in range(0, stop, bs):
+            sel = order[lo : lo + bs]
+            yield {
+                IMAGE: self._images[e.src[sel]],
+                IS_CLEAN: e.is_clean[sel],
+                "r_trigger_only": e.r_trigger_only[sel],
+                "flip": flip[lo : lo + bs],
+            }
 
     def get_batch(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
         """Deterministic (no flip) transformed batch by entry index — used by

@@ -94,6 +94,22 @@ def _pl():
     return pl
 
 
+def _packing_factor(BH: int, T: int, hd: int, itemsize: int) -> int:
+    """Rows per grid step for the packed kernel, from a VMEM budget:
+    double-buffered q/k/v/o blocks at the input dtype plus the fp32 logits
+    tile and its exp temp must stay under the scoped VMEM limit.  The 14 MB
+    threshold is bracketed empirically on v5e: the bf16 CIFAR hot shape at
+    G=8 (12.6 MB by this model) runs and measures fastest, while fp32
+    inputs at T=256, G=8 (21 MB) OOM the kernel."""
+    G = 8
+    while G > 1 and (
+        BH % G or
+        2 * 4 * G * T * hd * itemsize + 2 * G * T * T * 4 > 14 * 1024 * 1024
+    ):
+        G //= 2
+    return G
+
+
 @functools.partial(jax.jit, static_argnums=(3,))
 def _pallas_attention_packed(q, k, v, n_heads):
     """Small-T attention: pack several (batch, head) rows per grid step and
@@ -112,17 +128,7 @@ def _pallas_attention_packed(q, k, v, n_heads):
     hd = C // n_heads
     scale = 1.0 / np.sqrt(hd)
     BH = B * n_heads
-    # pick the packing factor from a VMEM budget: double-buffered q/k/v/o
-    # blocks at the input dtype plus the fp32 logits tile and its exp temp
-    # must stay under the ~16 MB scoped limit (fp32 inputs at T=256 OOM'd
-    # with a fixed G=8)
-    itemsize = jnp.dtype(q.dtype).itemsize
-    G = 8
-    while G > 1 and (
-        BH % G or
-        2 * 4 * G * T * hd * itemsize + 2 * G * T * T * 4 > 10 * 1024 * 1024
-    ):
-        G //= 2
+    G = _packing_factor(BH, T, hd, jnp.dtype(q.dtype).itemsize)
 
     def split(x):
         return x.reshape(B, T, n_heads, hd).transpose(0, 2, 1, 3).reshape(BH, T, hd)

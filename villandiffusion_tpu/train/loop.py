@@ -77,6 +77,10 @@ class Trainer:
     vae_encode: bool = True                # False when batches are pre-encoded latents
     param_sharding: str = "replicated"     # "replicated" (DP) | "fsdp" (ZeRO-3)
     fsdp_min_size: int = 2**16             # leaves smaller than this replicate
+    batch_transform: Optional[Callable] = None  # raw batch -> loss-ready batch,
+    # runs INSIDE the jitted step (device-side poisoning: uint8 pixels in,
+    # {target, pixel_values} out — see core.poison.make_device_materializer)
+    raw_batch_keys: Optional[tuple] = None  # batch keys when batch_transform set
 
     def _state_shardings(self, params):
         """Sharding tree for the TrainState: replicated for plain DP, or
@@ -141,6 +145,8 @@ class Trainer:
 
         def step_fn(state: TrainState, batch, rng):
             rng_t, rng_n = jax.random.split(jax.random.fold_in(rng, state.step))
+            if self.batch_transform is not None:
+                batch = self.batch_transform(batch)
             if self.vae is not None and self.vae_encode:
                 # LDM: train on frozen-VAE latents (loss.py:941-951 semantics)
                 batch = {
@@ -171,7 +177,13 @@ class Trainer:
         # compiler-chosen shardings that differ from the initial host-placed
         # inputs).  State replicated (DP) or FSDP-sharded; batch on the data
         # axis either way.
-        batch_shardings = {self.target_key: data_sh, self.poison_key: data_sh}
+        if self.batch_transform is not None:
+            keys = self.raw_batch_keys or (
+                "image", "is_clean", "r_trigger_only", "flip"
+            )
+            batch_shardings = {k: data_sh for k in keys}
+        else:
+            batch_shardings = {self.target_key: data_sh, self.poison_key: data_sh}
         if not hasattr(self, "_cached_state_shardings"):
             if self.param_sharding == "fsdp":
                 raise RuntimeError("call init_state() before make_step() with FSDP")
