@@ -84,7 +84,7 @@ class TestMeasure:
 
     def test_measure_resume_cache(self, run_dir):
         """PNG-count cache: re-measure skips generation (idempotent eval)."""
-        clean_dir = os.path.join(run_dir, "measure", "clean")
+        clean_dir = os.path.join(run_dir, "measure", "clean_DDIM-SCHED-4")
         n_png = len(os.listdir(clean_dir))
         assert n_png == 16
         mtimes = {f: os.path.getmtime(os.path.join(clean_dir, f)) for f in os.listdir(clean_dir)}

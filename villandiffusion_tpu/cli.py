@@ -303,8 +303,12 @@ def measure(config: C.TrainingConfig, dsl: L.DatasetLoader, pipeline) -> Dict:
     trigger = pipeline.encode(jnp.asarray(dsl.trigger)[None])
     backdoor_init = noise + trigger
 
-    clean_dir = os.path.join(config.output_dir, "measure", "clean")
-    backdoor_dir = os.path.join(config.output_dir, "measure", "backdoor")
+    # sample caches keyed by sampler config: re-measuring with a different
+    # sched/steps must not reuse another sampler's PNGs (the score.json keys
+    # are per-sched too, VillanDiffusion.py:726-746)
+    tag = f"{config.sched}-{config.infer_steps}"
+    clean_dir = os.path.join(config.output_dir, "measure", f"clean_{tag}")
+    backdoor_dir = os.path.join(config.output_dir, "measure", f"backdoor_{tag}")
     steps = config.infer_steps
     mb = config.eval_max_batch
 

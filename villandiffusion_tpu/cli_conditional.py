@@ -273,7 +273,9 @@ def train(args, stack: SDStack, out_dir: str) -> None:
             batch = tok_collate(raw)
             device_batch = {k: jnp.asarray(batch[k]) for k in batch_keys}
             state, lval = step_fn(state, device_batch, rng)
-            step = int(state.step)
+            # host-side counter: int(state.step) would round-trip the device
+            # every step and serialize dispatch on slow host links
+            step += 1
             if step % 50 == 0 or step == 1:
                 logger.log({"loss": float(lval)}, step=step)
                 Log.info(f"step {step}: loss {float(lval):.5f}")
