@@ -149,3 +149,75 @@ def test_make_schedule_factory():
     assert S.make_schedule(S.SDE_LDM).beta_start == 0.0015
     with pytest.raises(NotImplementedError):
         S.make_schedule("SDE-NOPE")
+
+
+def test_vp_r_ladders_match_reference_golden():
+    """Golden parity: R_step/R_coef ladders vs values produced by executing
+    the reference's own loss.py:get_R_coef_elbo_gen (torch CPU, fp32) on the
+    default linear-beta DDPM schedule (T=1000).  Extracted 2026-08-17; see
+    tests/golden/ref_vp_r_ladders.npz."""
+    import os
+
+    from villandiffusion_tpu.core import schedules as S
+
+    golden = np.load(
+        os.path.join(os.path.dirname(__file__), "golden", "ref_vp_r_ladders.npz")
+    )
+    sch = S.VPSchedule.create(timesteps=1000)
+    for st in ("sde", "ode"):
+        step, coef = sch.backdoor_step_coef(
+            psi=1.0, solver_type=st, vp_scale=1.0, ve_scale=1.0
+        )
+        np.testing.assert_allclose(
+            np.asarray(step), golden[f"vp_step_{st}"], atol=2e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(coef), golden[f"vp_coef_{st}"], atol=2e-5
+        )
+
+
+def test_ve_r_ladders_match_reference_golden():
+    """Golden parity for the VE (TrojDiff-reduce, psi=0) ladders vs the
+    reference's loss.py:get_R_coef_gen_ve_reduce executed directly (torch,
+    fp64 sigmas); ladder = VESchedule.create() defaults (T=2000,
+    sigma 0.01..380)."""
+    import os
+
+    from villandiffusion_tpu.core import schedules as S
+
+    golden = np.load(
+        os.path.join(os.path.dirname(__file__), "golden", "ref_vp_r_ladders.npz")
+    )
+    sch = S.VESchedule.create()
+    for st in ("sde", "ode"):
+        step, coef = sch.backdoor_step_coef(psi=0.0, solver_type=st, ve_scale=1.0)
+        np.testing.assert_allclose(
+            np.asarray(step, np.float32), golden[f"ve_step_{st}"], rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(coef, np.float32), golden[f"ve_coef_{st}"], rtol=1e-6
+        )
+
+
+def test_conditional_r_ladders_match_reference_golden():
+    """Golden parity for the conditional (SD scaled-linear betas) BadDiff
+    closed forms vs the reference's loss_conditional.py:get_R_step_baddiff /
+    get_R_coef_baddiff executed directly (torch fp64, cast fp32)."""
+    import os
+
+    from villandiffusion_tpu.train.conditional import sd_schedule
+
+    golden = np.load(
+        os.path.join(os.path.dirname(__file__), "golden", "ref_vp_r_ladders.npz")
+    )
+    sch = sd_schedule()
+    for st in ("sde", "ode"):
+        step, coef = sch.backdoor_step_coef(
+            psi=1.0, solver_type=st, vp_scale=1.0, ve_scale=1.0
+        )
+        np.testing.assert_allclose(
+            np.asarray(step, np.float32), golden[f"cond_step_{st}"], atol=2e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(coef, np.float32), golden[f"cond_coef_{st}"], atol=2e-5
+        )
