@@ -126,3 +126,48 @@ class TestVETraining:
         batch = shard_batch(mesh, batch)
         state, loss = step(state, batch, jax.random.PRNGKey(2))
         assert np.isfinite(float(loss))
+
+
+def test_pc_sampler_reproduces_backdoor_with_perfect_score_model():
+    """End-to-end consistency of the VE backdoor drift: an analytically
+    perfect poisoned-score model (point-mass data at the target image,
+    R = trigger, TrojDiff-reduce psi=0 ladder) driven through the full
+    predictor-corrector pipeline from `sigma_max * (noise + trigger)` must
+    land on the target.  Pins the sigma indexing, the -pred*sigma
+    convention, the init scaling, and the PC update jointly — a mismatch in
+    any one of them leaves noise instead (seen with undertrained models)."""
+    import jax
+
+    from villandiffusion_tpu.core import poison as P
+    from villandiffusion_tpu.core import schedules as S
+    from villandiffusion_tpu.samplers.base import DiffusionPipeline
+    from villandiffusion_tpu.samplers.ve import ScoreSdeVeSampler
+
+    sch = S.VESchedule.create()
+    step_l, coef_l = sch.backdoor_step_coef(psi=0.0, solver_type="sde")
+    trig = P.get_trigger("STOP_SIGN_14", 3, 32, 0.0, 1.0)
+    hat = P.get_target("HAT", trig, -5, -3, 0.0, 1.0)
+    trig_j, hat_j = jnp.asarray(trig), jnp.asarray(hat)
+    step_j = jnp.asarray(step_l, jnp.float32)
+    coef_j = jnp.asarray(coef_l, jnp.float32)
+    sig_j = jnp.asarray(np.asarray(sch.sigmas_asc), jnp.float32)
+
+    def perfect_model(params, x, sigma):
+        idx = jnp.argmin(jnp.abs(sig_j[None, :] - sigma[:, None]), axis=1)
+        st = step_j[idx][:, None, None, None]
+        cf = coef_j[idx][:, None, None, None]
+        sg = sigma[:, None, None, None]
+        eps_hat = (x - hat_j[None] - st * trig_j[None]) / sg
+        return -(eps_hat + cf * trig_j[None]) / sg
+
+    pipe = DiffusionPipeline(
+        apply_fn=perfect_model, params={},
+        sampler=ScoreSdeVeSampler(schedule=sch),
+        sample_size=32, channels=3, output_map="ve",
+    )
+    rng = jax.random.PRNGKey(0)
+    noise = jax.random.normal(rng, (2, 32, 32, 3))
+    out = pipe(init=noise + trig_j[None], num_inference_steps=1000, rng=rng)
+    tgt01 = np.clip(hat, 0, 1)
+    mse = float(np.mean((np.asarray(out.images) - tgt01[None]) ** 2))
+    assert mse < 1e-6, mse
