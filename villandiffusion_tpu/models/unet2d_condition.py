@@ -32,7 +32,7 @@ from villandiffusion_tpu.models.unet2d import (
     group_norm,
     timestep_embedding,
 )
-from villandiffusion_tpu.ops.attention import xla_attention
+from villandiffusion_tpu.ops.attention import spatial_attention, xla_attention
 
 
 @dataclasses.dataclass(frozen=True)
@@ -127,6 +127,18 @@ class CrossAttention(nn.Module):
         B, Tq, _ = q.shape
         Tk = k.shape[1]
         hd = self.dim_head
+
+        if context is None and Tq == Tk and hd % 8 == 0 and Tq % 8 == 0:
+            # Self-attention over spatial tokens: route through the Pallas
+            # dispatch (flash kernel at T>=4096).  The five 64x64 (T=4096)
+            # self-attn blocks are 40% of the SD UNet eval as plain XLA
+            # softmax fusions (~10.5 ms each, batch 16 on v5e); the
+            # KV-streaming kernel keeps the 4096^2 logits in VMEM.
+            # Cross-attention (Tk=77, ragged) stays on the XLA path.
+            out = spatial_attention(q, k, v, self.heads)
+            return LoRADense(
+                self.query_dim, self.lora_rank, use_bias=True, name="to_out"
+            )(out)
 
         def split(t, T):
             return t.reshape(B, T, self.heads, hd).transpose(0, 2, 1, 3)

@@ -219,9 +219,20 @@ def spatial_attention(
     KV-streaming flash kernel above), XLA elsewhere."""
     if _is_tpu():
         try:
-            if q.shape[1] <= 512:
+            B, T, C = q.shape
+            hd = C // n_heads
+            if T <= 512:
                 return _pallas_attention_packed(q, k, v, n_heads)
-            return _pallas_attention(q, k, v, n_heads)
+            # Measured on v5e (SD-v1 self-attn shapes, bf16, in-scan): the
+            # KV-streaming kernel wins at hd >= 64 at any batch (T=1024,
+            # hd=80: 4.8-5.7 ms vs ~10+ ms XLA) and at narrow heads only
+            # while B*heads <= 64 (T=4096, hd=40: 10.8 ms @BH=64 beats XLA,
+            # 18.9 ms @BH=128 loses to XLA's 10.5 ms fused softmax — the
+            # 40-wide blocks underfill the 128-lane MXU and more concurrent
+            # rows just queue behind it).
+            if hd >= 64 or B * n_heads <= 64:
+                return _pallas_attention(q, k, v, n_heads)
+            return xla_attention(q, k, v, n_heads)
         except Exception:  # pragma: no cover - kernel regressions fall back
             return xla_attention(q, k, v, n_heads)
     return xla_attention(q, k, v, n_heads)
