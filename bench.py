@@ -18,7 +18,35 @@ BATCH = 512
 STEPS = 50
 
 
+def _wait_for_tpu(max_wait: float = 1200.0) -> None:
+    """The tunneled TPU wedges for minutes after any worker crash/kill: the
+    next process hangs forever on its first device op.  Probe with a tiny
+    matmul in a timeout-guarded subprocess until it round-trips (see
+    tools/tpu_run.py) so a driver-invoked bench doesn't die on a flaky
+    tunnel."""
+    import subprocess
+    import sys
+
+    probe = (
+        "import jax, jax.numpy as jnp;"
+        "x = jnp.ones((128, 128));"
+        "print(float((x @ x).sum()))"
+    )
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < max_wait:
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", probe], timeout=120, capture_output=True
+            )
+            if out.returncode == 0 and b"2097152" in out.stdout:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        time.sleep(60)
+
+
 def main() -> None:
+    _wait_for_tpu()
     import jax
     import jax.numpy as jnp
 
