@@ -40,9 +40,12 @@ class TestTrain:
         assert os.path.exists(os.path.join(run_dir, "config.json"))
         assert os.path.exists(os.path.join(run_dir, "unet", "params.msgpack"))
         assert os.path.exists(os.path.join(run_dir, "metrics.jsonl"))
-        # epoch-0 grid + final grid
-        assert os.path.exists(os.path.join(run_dir, "samples", "0.png"))
+        # epoch-0 grid + final grid, each with the movie's first-step frame
+        # (reference artifact names: {epoch:04d}.png + ..._sample_t0.png)
+        assert os.path.exists(os.path.join(run_dir, "samples", "0000.png"))
+        assert os.path.exists(os.path.join(run_dir, "samples", "0000_sample_t0.png"))
         assert os.path.exists(os.path.join(run_dir, "samples", "final.png"))
+        assert os.path.exists(os.path.join(run_dir, "samples", "final_sample_t0.png"))
         assert os.path.exists(os.path.join(run_dir, "backdoor_samples", "final.png"))
 
     def test_loss_logged(self, run_dir):
@@ -84,7 +87,7 @@ class TestMeasure:
 
     def test_measure_resume_cache(self, run_dir):
         """PNG-count cache: re-measure skips generation (idempotent eval)."""
-        clean_dir = os.path.join(run_dir, "measure", "clean_DDIM-SCHED-4")
+        clean_dir = os.path.join(run_dir, "measure", "clean_DDIM-SCHED-4_ep2")
         n_png = len(os.listdir(clean_dir))
         assert n_png == 16
         mtimes = {f: os.path.getmtime(os.path.join(clean_dir, f)) for f in os.listdir(clean_dir)}
@@ -104,6 +107,48 @@ class TestResume:
         epochs = [r["epoch"] for r in recs if "epoch" in r]
         # initial train: epochs 0,1 — resume restores ep1 and exits (>= epoch)
         assert max(epochs) >= 1
+
+
+class TestResumeAfterInterrupt:
+    def test_crash_mid_training_resumes_at_right_epoch(self, tmp_path, monkeypatch):
+        """A crash during epoch 2 must checkpoint epoch=1 (last completed),
+        so resume redoes epoch 2 and finishes — not compute start_epoch past
+        the end and exit without training."""
+        import villandiffusion_tpu.data.loader as DL
+
+        res = tmp_path / "runs"
+        args = ["--mode", "train"] + COMMON + [
+            "--epoch", "4", "--save_model_epochs", "10",
+            "--save_image_epochs", "10",
+            "--result", str(res), "--overwrite",
+        ]
+        orig = DL.DatasetLoader.get_raw_dataloader
+
+        def boom(self, *a, epoch_seed=0, **kw):
+            if epoch_seed == 2:
+                raise RuntimeError("injected interrupt")
+            return orig(self, *a, epoch_seed=epoch_seed, **kw)
+
+        monkeypatch.setattr(DL.DatasetLoader, "get_raw_dataloader", boom)
+        with pytest.raises(RuntimeError, match="injected interrupt"):
+            cli.main(args)
+        monkeypatch.setattr(DL.DatasetLoader, "get_raw_dataloader", orig)
+
+        (out,) = [d for d in os.listdir(res) if d.startswith("res_")]
+        run_dir = os.path.join(str(res), out)
+        with open(os.path.join(run_dir, "metrics.jsonl")) as f:
+            epochs_before = {
+                json.loads(l)["epoch"] for l in f if "epoch" in json.loads(l)
+            }
+        assert epochs_before == {0, 1}
+
+        cli.main(["--mode", "resume", "--ckpt", run_dir])
+        with open(os.path.join(run_dir, "metrics.jsonl")) as f:
+            epochs_after = {
+                json.loads(l)["epoch"] for l in f if "epoch" in json.loads(l)
+            }
+        # resume restarted at the interrupted epoch (2) and ran to the end
+        assert epochs_after == {0, 1, 2, 3}
 
 
 class TestConfigGuards:

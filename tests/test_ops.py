@@ -76,6 +76,35 @@ def test_packed_matches_xla(B, T, heads):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+def test_grad_flows_through_fast_path():
+    """Training routes UNet self-attention through the dispatch; the
+    custom_vjp must (a) keep the Pallas forward (no fallback warning) and
+    (b) produce the exact XLA attention gradients via softmax recompute."""
+    import warnings
+    from unittest import mock
+    from jax.experimental import pallas as pl
+
+    rng = np.random.default_rng(3)
+    B, T, C, heads = 3, 96, 32, 2  # unique shape: forces a fresh (patched) trace
+    q, k, v = (jnp.asarray(rng.standard_normal((B, T, C)), jnp.float32) for _ in range(3))
+
+    def loss_fast(q, k, v):
+        return (A._attention_ad(q, k, v, heads) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        return (A.xla_attention(q, k, v, heads) ** 2).sum()
+
+    orig = pl.pallas_call
+    with mock.patch.object(
+        pl, "pallas_call", functools.partial(orig, interpret=True)
+    ), warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)  # fallback -> fail
+        grads = jax.grad(loss_fast, argnums=(0, 1, 2))(q, k, v)
+    ref_grads = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for g, r in zip(grads, ref_grads):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=1e-4)
+
+
 def test_packing_factor_vmem_budget():
     """G must divide B*H and keep double-buffered q/k/v/o blocks plus the
     fp32 logits tile under the VMEM budget; the fp32 T=256 case must drop

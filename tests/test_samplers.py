@@ -91,6 +91,34 @@ class TestPipelineContract:
         assert out.movie[-1].shape == (1, 8, 8, 3)
         assert np.allclose(out.movie[-1], out.images)
 
+    def test_movie_capture_first(self):
+        """movie_capture='first' keeps only movie[0] (the frame the CLI
+        grids need) without materializing the full trajectory stack."""
+        pipe = make_pipeline(DDIMSampler)
+        rng = jax.random.PRNGKey(7)
+        out_all = pipe(
+            batch_size=1, num_inference_steps=10, save_every_step=True, rng=rng
+        )
+        out_first = pipe(
+            batch_size=1, num_inference_steps=10, save_every_step=True,
+            movie_capture="first", rng=rng,
+        )
+        assert len(out_first.movie) == 1
+        np.testing.assert_allclose(
+            out_first.movie[0], out_all.movie[0], atol=1e-6
+        )
+        np.testing.assert_allclose(out_first.images, out_all.images, atol=1e-6)
+
+    def test_eta_does_not_mutate_pipeline(self):
+        """eta= calls must not flush other compiled configs or mutate the
+        sampler (the compiled-run cache is keyed per eta)."""
+        pipe = make_pipeline(DDIMSampler)
+        a = pipe(batch_size=1, num_inference_steps=5, rng=jax.random.PRNGKey(0))
+        pipe(batch_size=1, num_inference_steps=5, eta=0.5, rng=jax.random.PRNGKey(0))
+        assert pipe.sampler.eta == 0.0  # unchanged
+        a2 = pipe(batch_size=1, num_inference_steps=5, rng=jax.random.PRNGKey(0))
+        assert np.allclose(a.images, a2.images)
+
     def test_start_from_skips_steps(self):
         pipe = make_zero_eps_pipeline(DDIMSampler)
         init = jnp.full((1, 8, 8, 3), 0.2)

@@ -20,7 +20,7 @@ def main():
         sampler=DDIMSampler(schedule=S.VPSchedule.create()),
         sample_size=32, channels=3,
     )
-    run = pipe._compiled_run(50, 0, False)
+    run = pipe._compiled_run(50, 0, "none")
     B = 512
     x = jnp.zeros((B, 32, 32, 3), jnp.float32)
     txt = run.lower(params_bf16, x, jax.random.PRNGKey(0)).compile().as_text()

@@ -136,17 +136,36 @@ def sampling(
     noise = jax.random.normal(rng, shape)
     trigger = pipeline.encode(jnp.asarray(dsl.trigger)[None])
 
+    # the reference suffixes grids with _noclip and writes the movie's first
+    # frame next to the final grid (VillanDiffusion.py:579-615)
+    clip_opt = "" if config.clip else "_noclip"
+    name = f"{file_name:04d}" if isinstance(file_name, int) else str(file_name)
+
     def grid(tag: str, out):
-        path = os.path.join(config.output_dir, tag, f"{file_name}.png")
+        path = os.path.join(config.output_dir, tag, f"{name}{clip_opt}.png")
         IMG.save_grid(out.images, path)
+        if out.movie:
+            IMG.save_grid(
+                out.movie[0],
+                os.path.join(config.output_dir, tag, f"{name}{clip_opt}_sample_t0.png"),
+            )
         Log.info(f"saved {path}")
 
     steps = config.infer_steps
     if config.task == C.TASK_GENERATE:
-        grid("samples", pipeline(init=noise, num_inference_steps=steps, rng=rng))
+        grid(
+            "samples",
+            pipeline(
+                init=noise, num_inference_steps=steps, rng=rng,
+                save_every_step=True, movie_capture="first",
+            ),
+        )
         grid(
             "backdoor_samples",
-            pipeline(init=noise + trigger, num_inference_steps=steps, rng=rng),
+            pipeline(
+                init=noise + trigger, num_inference_steps=steps, rng=rng,
+                save_every_step=True, movie_capture="first",
+            ),
         )
         return
 
@@ -171,6 +190,8 @@ def sampling(
         num_inference_steps=steps,
         start_from=int(config.infer_start),
         rng=rng,
+        save_every_step=True,
+        movie_capture="first",
     )
     grid(config.task, out)
 
@@ -303,10 +324,13 @@ def measure(config: C.TrainingConfig, dsl: L.DatasetLoader, pipeline) -> Dict:
     trigger = pipeline.encode(jnp.asarray(dsl.trigger)[None])
     backdoor_init = noise + trigger
 
-    # sample caches keyed by sampler config: re-measuring with a different
-    # sched/steps must not reuse another sampler's PNGs (the score.json keys
-    # are per-sched too, VillanDiffusion.py:726-746)
-    tag = f"{config.sched}-{config.infer_steps}"
+    # sample caches keyed exactly like _score_key (sched/steps/epoch/clip):
+    # re-measuring with a different sched, epoch snapshot, or clip setting
+    # must not reuse another configuration's PNGs (VillanDiffusion.py:726-746)
+    ep = config.sample_ep if config.sample_ep is not None else config.epoch
+    tag = f"{config.sched}-{config.infer_steps}_ep{ep}"
+    if config.clip is False:
+        tag += "_noclip"
     clean_dir = os.path.join(config.output_dir, "measure", f"clean_{tag}")
     backdoor_dir = os.path.join(config.output_dir, "measure", f"backdoor_{tag}")
     steps = config.infer_steps
@@ -389,6 +413,10 @@ def train_loop(
         except NotImplementedError as e:
             Log.warning(f"sampling skipped: {e}")
 
+    # last fully completed epoch; the finally-save tags the checkpoint with
+    # it so `--mode resume` redoes an interrupted epoch instead of computing
+    # start_epoch past the end (reference: VillanDiffusion.py:455-462,1196)
+    completed_epoch = start_epoch - 1
     try:
         if start_epoch == 0:
             do_sampling(0)
@@ -416,7 +444,12 @@ def train_loop(
                 state, loss = step_fn(state, device_batch, rng)
                 loss_sum = loss if loss_sum is None else loss_sum + loss
                 n_steps += 1
-            mean_loss = float(loss_sum) / max(n_steps, 1)
+            completed_epoch = epoch
+            if n_steps == 0:
+                # dataset smaller than batch_size with drop_last: nothing ran
+                Log.warning(f"epoch {epoch}: no batches (dataset < batch size)")
+                continue
+            mean_loss = float(loss_sum) / n_steps
             logger.log(
                 {"loss": mean_loss, "epoch": epoch}, step=int(state.step)
             )
@@ -434,8 +467,9 @@ def train_loop(
         Log.error(traceback.format_exc())
         raise
     finally:
-        # error-resilient save (VillanDiffusion.py:1189-1199)
-        save_everything(config.epoch - 1)
+        # error-resilient save (VillanDiffusion.py:1189-1199), tagged with the
+        # epoch actually reached so resume continues from the right place
+        save_everything(completed_epoch)
         ckpt_mgr.wait()
         do_sampling("final")
     bundle.params = state.params

@@ -74,7 +74,10 @@ def _synthetic_images(n: int, size: int, channel: int, seed: int) -> np.ndarray:
         os.makedirs(cache_dir, exist_ok=True)
         cache = os.path.join(cache_dir, f"fake_{n}_{size}_{channel}_{seed}.npy")
         if os.path.exists(cache):
-            return np.load(cache)
+            try:
+                return np.load(cache)
+            except Exception:
+                pass  # partial/corrupt cache (e.g. older non-atomic write): regenerate
     rng = np.random.default_rng(seed)
     yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
     imgs = np.empty((n, size, size, channel), dtype=np.uint8)
@@ -87,7 +90,12 @@ def _synthetic_images(n: int, size: int, channel: int, seed: int) -> np.ndarray:
             v = 0.5 + 0.3 * np.sin(2 * np.pi * freq[c] * (xx + yy) + phase[c]) + 0.4 * blob
             imgs[i, :, :, c] = np.clip(v * 255, 0, 255).astype(np.uint8)
     if cache is not None:
-        np.save(cache, imgs)
+        # atomic publish: concurrent sweep processes may race on this path,
+        # and a reader must never see a partially written .npy
+        tmp = f"{cache}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:  # np.save(path) would append .npy to tmp
+            np.save(f, imgs)
+        os.replace(tmp, cache)
     return imgs
 
 
@@ -161,7 +169,15 @@ class DatasetLoader:
             # $VILLAN_FAKE_N overrides the synthetic example count so the
             # offline FAKE* datasets can stand in for CIFAR10-scale runs
             # (50k examples) in canonical-config benchmarks
-            num_fake = int(os.environ.get("VILLAN_FAKE_N", num_fake))
+            env_n = os.environ.get("VILLAN_FAKE_N")
+            if env_n is not None and int(env_n) != num_fake:
+                from villandiffusion_tpu.utils.log import Log
+
+                Log.warning(
+                    f"$VILLAN_FAKE_N={env_n} overrides num_fake={num_fake} "
+                    f"for dataset {name}"
+                )
+                num_fake = int(env_n)
             self._images = _synthetic_images(
                 num_fake, self._image_size, self._channel, seed
             )

@@ -212,27 +212,76 @@ def _pallas_attention(q, k, v, n_heads):
     )
 
 
+def _forward_dispatch(q, k, v, n_heads: int) -> jnp.ndarray:
+    """Measured kernel choice for the forward pass (TPU only)."""
+    try:
+        B, T, C = q.shape
+        hd = C // n_heads
+        if T <= 512:
+            return _pallas_attention_packed(q, k, v, n_heads)
+        # Measured on v5e (SD-v1 self-attn shapes, bf16, in-scan): the
+        # KV-streaming kernel wins at hd >= 64 at any batch (T=1024,
+        # hd=80: 4.8-5.7 ms vs ~10+ ms XLA) and at narrow heads only
+        # while B*heads <= 64 (T=4096, hd=40: 10.8 ms @BH=64 beats XLA,
+        # 18.9 ms @BH=128 loses to XLA's 10.5 ms fused softmax — the
+        # 40-wide blocks underfill the 128-lane MXU and more concurrent
+        # rows just queue behind it).
+        if hd >= 64 or B * n_heads <= 64:
+            return _pallas_attention(q, k, v, n_heads)
+        return xla_attention(q, k, v, n_heads)
+    except Exception as e:  # pragma: no cover - kernel regressions fall back
+        _warn_fallback_once(e)
+        return xla_attention(q, k, v, n_heads)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _attention_ad(q, k, v, n_heads: int):
+    """Pallas forward with an XLA-math backward.
+
+    The Pallas kernels don't support reverse-mode AD (linearization of
+    pallas_call fails), which previously made every *training* forward pass
+    silently fall back to XLA attention.  custom_vjp keeps the measured
+    fast forward and computes exact attention gradients by recomputing the
+    softmax in the backward pass with plain einsums (flash-attention's
+    standard recompute strategy — no T x T tensor is saved between passes).
+    """
+    return _forward_dispatch(q, k, v, n_heads)
+
+
+def _attention_ad_fwd(q, k, v, n_heads: int):
+    return _forward_dispatch(q, k, v, n_heads), (q, k, v)
+
+
+def _attention_ad_bwd(n_heads: int, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda a, b, c: xla_attention(a, b, c, n_heads), q, k, v)
+    return vjp(g)
+
+
+_attention_ad.defvjp(_attention_ad_fwd, _attention_ad_bwd)
+
+
 def spatial_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, n_heads: int = 1
 ) -> jnp.ndarray:
     """Dispatch: Pallas on TPU (packed full-softmax kernel for small T,
-    KV-streaming flash kernel above), XLA elsewhere."""
+    KV-streaming flash kernel above; AD-safe via custom_vjp), XLA
+    elsewhere."""
     if _is_tpu():
-        try:
-            B, T, C = q.shape
-            hd = C // n_heads
-            if T <= 512:
-                return _pallas_attention_packed(q, k, v, n_heads)
-            # Measured on v5e (SD-v1 self-attn shapes, bf16, in-scan): the
-            # KV-streaming kernel wins at hd >= 64 at any batch (T=1024,
-            # hd=80: 4.8-5.7 ms vs ~10+ ms XLA) and at narrow heads only
-            # while B*heads <= 64 (T=4096, hd=40: 10.8 ms @BH=64 beats XLA,
-            # 18.9 ms @BH=128 loses to XLA's 10.5 ms fused softmax — the
-            # 40-wide blocks underfill the 128-lane MXU and more concurrent
-            # rows just queue behind it).
-            if hd >= 64 or B * n_heads <= 64:
-                return _pallas_attention(q, k, v, n_heads)
-            return xla_attention(q, k, v, n_heads)
-        except Exception:  # pragma: no cover - kernel regressions fall back
-            return xla_attention(q, k, v, n_heads)
+        return _attention_ad(q, k, v, n_heads)
     return xla_attention(q, k, v, n_heads)
+
+
+@functools.lru_cache(maxsize=1)
+def _warn_fallback_once_impl(msg: str) -> None:
+    import warnings
+
+    warnings.warn(
+        "Pallas attention kernel failed; silently degrading to XLA attention "
+        f"would hide a perf regression. Cause: {msg}",
+        RuntimeWarning,
+    )
+
+
+def _warn_fallback_once(e: Exception) -> None:
+    _warn_fallback_once_impl(f"{type(e).__name__}: {e}")

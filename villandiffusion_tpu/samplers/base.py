@@ -119,16 +119,34 @@ class DiffusionPipeline:
         return jnp.clip(x, 0.0, 1.0)
 
     @functools.lru_cache(maxsize=32)
-    def _compiled_run(self, num_inference_steps: int, start_from: int, save_every_step: bool, uint8: bool = False):
+    def _compiled_run(
+        self,
+        num_inference_steps: int,
+        start_from: int,
+        movie: str = "none",          # "none" | "first" | "all"
+        uint8: bool = False,
+        eta: Optional[float] = None,
+    ):
+        # eta is threaded here (rather than mutating self.sampler) so each
+        # (steps, eta) pair gets its own cache slot and an eta= call doesn't
+        # flush every other compiled configuration
         sampler = self.sampler
+        if eta is not None and hasattr(sampler, "eta"):
+            sampler = dataclasses.replace(sampler, eta=eta)
         n_iters = len(sampler.timesteps(num_inference_steps))
 
         def run(params, x, rng):
             carry0 = sampler.init_carry(x, num_inference_steps)
             idxs = jnp.arange(start_from, n_iters)
+            if movie == "first":
+                # shape-stable carry slot for the first denoised frame
+                spec = jax.eval_shape(self._to_images, x)
+                first0 = jnp.zeros(spec.shape, spec.dtype)
+            else:
+                first0 = jnp.zeros((0,))
 
             def body(state, i):
-                x, carry, key = state
+                x, carry, key, first = state
                 key, sub = jax.random.split(key)
 
                 def eval_model(xx, ii):
@@ -142,10 +160,22 @@ class DiffusionPipeline:
                 x_next, carry = sampler.step(
                     x, i, carry, sub, eval_model, num_inference_steps
                 )
-                y = self._to_images(x_next) if save_every_step else jnp.zeros((0,))
-                return (x_next, carry, key), y
+                y = self._to_images(x_next) if movie == "all" else jnp.zeros((0,))
+                if movie == "first":
+                    # keep only the first denoised frame in a carry slot:
+                    # the CLI grids use movie[0] alone, and a full 1000-step
+                    # stack at 256px would not fit in HBM; lax.cond keeps the
+                    # decode out of the per-step cost for latent models
+                    first = jax.lax.cond(
+                        i == idxs[0],
+                        lambda xn=x_next: self._to_images(xn),
+                        lambda: first,
+                    )
+                return (x_next, carry, key, first), y
 
-            (x_final, _, _), ys = jax.lax.scan(body, (x, carry0, rng), idxs)
+            (x_final, _, _, first), ys = jax.lax.scan(
+                body, (x, carry0, rng, first0), idxs
+            )
             images = self._to_images(x_final)
             if uint8:
                 # quantize on-device: the measure path writes PNGs (u8) and
@@ -153,7 +183,7 @@ class DiffusionPipeline:
                 # the contract-exact output — and it fetches 4x fewer bytes
                 # over the host link than f32
                 images = jnp.round(images * 255.0).astype(jnp.uint8)
-            return images, ys
+            return images, ys, first
 
         return jax.jit(run)
 
@@ -164,6 +194,7 @@ class DiffusionPipeline:
         init: Optional[jnp.ndarray] = None,
         start_from: int = 0,
         save_every_step: bool = False,
+        movie_capture: str = "all",   # with save_every_step: "all" | "first"
         eta: Optional[float] = None,
         output_type: Optional[str] = None,
         rng: Optional[jax.Array] = None,
@@ -171,9 +202,6 @@ class DiffusionPipeline:
         host: bool = True,
     ) -> SamplerOutput:
         rng = rng if rng is not None else (generator if generator is not None else jax.random.PRNGKey(0))
-        if eta is not None and hasattr(self.sampler, "eta"):
-            self.sampler = dataclasses.replace(self.sampler, eta=eta)
-            self._compiled_run.cache_clear()
         if init is None:
             rng, sub = jax.random.split(rng)
             init = jax.random.normal(
@@ -185,17 +213,23 @@ class DiffusionPipeline:
         # so backdoor `noise + trigger` inits are unaffected there).
         init = jnp.asarray(init) * self.sampler.init_latent_scale()
         uint8 = output_type in ("uint8", "u8")
+        movie_mode = "none" if not save_every_step else movie_capture
+        eta_key = None
+        if eta is not None and hasattr(self.sampler, "eta"):
+            eta_key = float(eta)
         run = self._compiled_run(
-            int(num_inference_steps), int(start_from), bool(save_every_step), uint8
+            int(num_inference_steps), int(start_from), movie_mode, uint8, eta_key
         )
-        images, ys = run(self.params, init, rng)
+        images, ys, first = run(self.params, init, rng)
         if host:
             # blocks on the device; host=False instead returns the live
             # device array so callers can dispatch the NEXT batch before
             # fetching this one (compute/IO pipelining in the measure loop)
             images = np.asarray(jax.device_get(images))
         movie = None
-        if save_every_step:
+        if movie_mode == "all":
             ys = np.asarray(jax.device_get(ys))
             movie = list(ys)
+        elif movie_mode == "first":
+            movie = [np.asarray(jax.device_get(first))]
         return SamplerOutput(images=images, movie=movie)
