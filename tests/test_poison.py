@@ -49,9 +49,18 @@ class TestTriggers:
         assert np.all(t[16:30, 16:30, :] == 0.5)
         assert np.all(t[:16, :, :] == 0.0)
 
-    def test_unavailable_mnist_trigger(self):
-        with pytest.raises(NotImplementedError):
-            P.get_trigger("MNIST", channel=3, image_size=32)
+    def test_mnist_family_triggers(self):
+        # vendored glyph assets (static/glyphs/*.npy, tools/make_glyphs.py)
+        for name in ("MNIST", "MNIST_EZ", "FASHION", "FASHION_EZ"):
+            t = P.get_trigger(name, channel=3, image_size=32, vmin=-1, vmax=1)
+            assert t.shape == (32, 32, 3)
+            assert t.min() == -1.0  # bg2black snaps background to vmin
+            assert (t > -1).any()  # glyph pixels survive
+
+    def test_mnist_trigger_single_channel(self):
+        t = P.get_trigger("MNIST", channel=1, image_size=28, vmin=0, vmax=1)
+        assert t.shape == (28, 28, 1)
+        assert t.min() == 0.0
 
 
 class TestTargets:
@@ -70,6 +79,14 @@ class TestTargets:
         t0 = P.get_target("NOSHIFT", trig, vmin=-1, vmax=1)
         ts = P.get_target("SHIFT", trig, dx=-5, dy=-3, vmin=-1, vmax=1)
         assert np.allclose(np.roll(np.roll(t0, -3, axis=0), -5, axis=1), ts)
+
+    def test_shoe_target(self):
+        trig = self._trig()
+        tgt = P.get_target("SHOE", trig, vmin=-1, vmax=1)
+        assert tgt.shape == trig.shape
+        thres = 2 * 0.3 - 1
+        assert tgt.min() == pytest.approx(thres)  # bg2grey floor
+        assert (tgt > thres).any()
 
     def test_corner_box(self):
         tgt = P.get_target("CORNER", self._trig(), vmin=-1, vmax=1)

@@ -105,6 +105,14 @@ def _bg2grey(x: np.ndarray, vmin: float, vmax: float) -> np.ndarray:
     return np.maximum(x, thres)
 
 
+def _bg2black(x: np.ndarray, vmin: float, vmax: float) -> np.ndarray:
+    """Below-threshold background snapped to vmin (dataset.py:713-716)."""
+    thres = (vmax - vmin) * GREY_BG_RATIO + vmin
+    out = x.copy()
+    out[out <= thres] = vmin
+    return out
+
+
 def _roll2d(x: np.ndarray, dx: int, dy: int) -> np.ndarray:
     """Roll (H, W, C) image by dy rows and dx cols (wrap-around)."""
     return np.roll(np.roll(x, dy, axis=0), dx, axis=1)
@@ -156,6 +164,44 @@ def _image_trigger(
     # (dataset.py:759); with vmax=1 ranges that means "almost vmax".
     canvas[canvas >= 0.999 * (vmax - vmin) + vmin] = vmin
     return canvas
+
+
+_GLYPH_DIR = os.path.join(_STATIC_DIR, "glyphs")
+
+# (glyph asset, roll dx, roll dy) per MNIST-family trigger
+# (/root/reference/dataset.py:790-816: FashionMNIST[0] rolled (0,2),
+# FashionMNIST[144] rolled (0,4), MNIST[3] and MNIST[6] rolled (10,3)).
+_GLYPH_TRIGGERS = {
+    TRIGGER_FA: ("fashion_0", 0, 2),
+    TRIGGER_FA_EZ: ("fashion_144", 0, 4),
+    TRIGGER_MNIST: ("mnist_3", 10, 3),
+    TRIGGER_MNIST_EZ: ("mnist_6", 10, 3),
+}
+
+
+def _load_glyph(name: str, image_size: int, channel: int, vmin: float, vmax: float) -> np.ndarray:
+    """28x28 uint8 glyph -> float32 (H, W, C) in [vmin, vmax].
+
+    Mirrors the reference's torchvision chain for (Fashion)MNIST sources
+    (dataset.py:688-702): channel convert, bilinear resize to image_size,
+    scale to [0,1], affine map to [vmin, vmax].  Assets live in
+    static/glyphs/ (vendored stand-ins; see tools/make_glyphs.py — drop real
+    dataset exports there for pixel-exact parity).
+    """
+    path = os.path.join(_GLYPH_DIR, f"{name}.npy")
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"Glyph asset {path} missing; regenerate with tools/make_glyphs.py"
+        )
+    src = np.load(path)
+    img = Image.fromarray(src, mode="L")
+    img = img.convert("L") if channel == 1 else img.convert("RGB")
+    if img.size != (image_size, image_size):
+        img = img.resize((image_size, image_size), Image.BILINEAR)
+    arr = np.asarray(img, dtype=np.float32) / 255.0
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    return normalize(arr, 0.0, 1.0, vmin, vmax)
 
 
 _BOX_SIZES = {
@@ -222,12 +268,11 @@ def get_trigger(
         return _image_trigger(
             GLASSES_IMG, image_size, channel, int(image_size * 0.625), vmin, vmax
         )
-    if trigger_type in (TRIGGER_FA, TRIGGER_FA_EZ, TRIGGER_MNIST, TRIGGER_MNIST_EZ):
-        raise NotImplementedError(
-            f"Trigger {trigger_type!r} requires the (Fashion)MNIST source images; "
-            "this environment has no network access to fetch them. Provide the "
-            "dataset locally and extend get_trigger."
-        )
+    if trigger_type in _GLYPH_TRIGGERS:
+        glyph, dx, dy = _GLYPH_TRIGGERS[trigger_type]
+        art = _load_glyph(glyph, image_size, channel, vmin, vmax)
+        # reference chain: bg2black then roll (dataset.py:792-816)
+        return _roll2d(_bg2black(art, vmin, vmax), dx=dx, dy=dy)
     raise ValueError(f"Trigger type {trigger_type!r} isn't found")
 
 
@@ -265,10 +310,9 @@ def get_target(
         img = normalize(img, 0.0, 1.0, vmin, vmax)
         return _bg2grey(img, vmin, vmax)
     if target_type == TARGET_FA:
-        raise NotImplementedError(
-            "Target 'SHOE' requires the FashionMNIST source image; unavailable "
-            "without network access."
-        )
+        # SHOE target = FashionMNIST[0] grey-floored (dataset.py:935-940)
+        h, w, c = trigger.shape
+        return _bg2grey(_load_glyph("fashion_0", h, c, vmin, vmax), vmin, vmax)
     raise NotImplementedError(f"Target type {target_type!r} isn't found")
 
 
