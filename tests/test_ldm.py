@@ -107,6 +107,77 @@ class TestLDMEndToEnd:
         assert img.size[0] > 32  # grid of 2 images with padding
 
 
+class TestLatentCLI:
+    """--dataset CELEBA-HQ-LATENT wired through the CLI: pre-encoded latents
+    feed training directly (vae_encode=False), pixels ride along for
+    FID/inpaint (reference: dataset.py:123-127,441-443, README.md:91)."""
+
+    def test_latent_train_measure(self, tmp_path, monkeypatch):
+        from villandiffusion_tpu import cli
+        from villandiffusion_tpu import factory as F
+        from villandiffusion_tpu.data.latent import build_latent_dataset
+
+        # same factory ckpt the CLI will build -> identical (seeded) VQ params
+        bundle = F.get_model_sched(
+            image_size=32, channels=3, ckpt="LDM-TINY-DEFAULT",
+            sde_type="SDE-LDM", noise_sched_type="UNIPC-SCHED",
+        )
+        rng = np.random.default_rng(0)
+        imgs = (rng.random((24, 32, 32, 3)) * 255).astype(np.uint8)
+        root = str(tmp_path / "latents")
+        build_latent_dataset(
+            imgs, bundle.vae, root,
+            trigger_types=["BOX_14"], target_types=["HAT"], batch_size=8,
+        )
+        monkeypatch.setenv("VILLAN_LATENT_ROOT", root)
+
+        res = str(tmp_path / "runs")
+        scores = cli.main(
+            ["--mode", "train+measure", "--dataset", "CELEBA-HQ-LATENT",
+             "--ckpt", "LDM-TINY-DEFAULT", "--sde_type", "SDE-LDM",
+             "--sched", "UNIPC-SCHED", "--trigger", "BOX_14", "--target", "HAT",
+             "--poison_rate", "0.9", "--epoch", "1", "--batch", "8",
+             "--infer_steps", "4", "--eval_sample_n", "2",
+             "--eval_max_batch", "8", "--measure_sample_n", "8",
+             "--save_image_epochs", "1", "--save_model_epochs", "1",
+             "--result", res, "--overwrite"]
+        )
+        assert any(k.startswith("FID") for k in scores)
+        assert any(k.startswith("MSE") for k in scores)
+        (out,) = [d for d in os.listdir(res) if d.startswith("res_")]
+        assert os.path.exists(os.path.join(res, out, "score.json"))
+
+    def test_latent_loader_contract(self, tmp_path, monkeypatch):
+        from villandiffusion_tpu.data import loader as L
+        from villandiffusion_tpu.data.latent import build_latent_dataset
+
+        vae = make_random_vq(
+            block_out_channels=(8, 16), layers_per_block=1,
+            latent_channels=3, num_vq_embeddings=16,
+        )
+        rng = np.random.default_rng(1)
+        imgs = (rng.random((12, 16, 16, 3)) * 255).astype(np.uint8)
+        root = str(tmp_path / "latents")
+        build_latent_dataset(
+            imgs, vae, root, trigger_types=["BOX_4"], target_types=["CORNER"],
+            batch_size=4,
+        )
+        monkeypatch.setenv("VILLAN_LATENT_ROOT", root)
+        dsl = L.DatasetLoader("CELEBA-HQ-LATENT", batch_size=4)
+        dsl.set_poison("BOX_4", "CORNER", poison_rate=0.5).prepare_dataset()
+        assert len(dsl) == 12
+        assert dsl.image_size == 16 and dsl.channel == 3
+        # pixel-space trigger/target for pipeline.encode at eval time
+        assert dsl.trigger.shape == (16, 16, 3)
+        batch = next(iter(dsl.get_dataloader()))
+        assert batch[L.IMAGE].shape == (4, 8, 8, 3)  # latent space
+        # pixel store rides along for FID / inpaint tails
+        assert dsl.images.shape == (12, 16, 16, 3)
+        tail = dsl.get_batch(np.arange(10, 12))
+        assert tail[L.IMAGE].shape == (2, 16, 16, 3)
+        assert tail[L.IMAGE].min() >= -1.0 and tail[L.IMAGE].max() <= 1.0
+
+
 class TestBackdoorRemoval:
     def test_rm_backdoor_trains_on_clean_images(self, tmp_path):
         from villandiffusion_tpu import cli

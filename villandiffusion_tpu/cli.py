@@ -49,6 +49,7 @@ def get_data_loader(config: C.TrainingConfig) -> L.DatasetLoader:
         vmin, vmax = 0.0, 1.0
     dsl = L.DatasetLoader(
         config.dataset,
+        root=config.dataset_path,
         batch_size=config.batch,
         vmin=vmin,
         vmax=vmax,

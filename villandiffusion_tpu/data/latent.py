@@ -61,6 +61,14 @@ def build_latent_dataset(
         z = np.asarray(encode(jnp.asarray(target[None])))[0]
         np.save(os.path.join(out_root, f"target_{tgt_name}.npy"), z)
 
+    # keep the source pixels next to the latents: FID reference statistics and
+    # the inpaint-task dataset tail need pixel space, and decoding every raw
+    # latent back through the VAE at measure time would be far slower
+    img_tmp = os.path.join(out_root, f"images.npy.tmp.{os.getpid()}")
+    with open(img_tmp, "wb") as f:
+        np.save(f, images)
+    os.replace(img_tmp, os.path.join(out_root, "images.npy"))
+
     with open(os.path.join(out_root, "meta.json"), "w") as f:
         json.dump(
             {

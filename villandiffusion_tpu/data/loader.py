@@ -57,6 +57,8 @@ _DEFAULT_SIZES = {
     CIFAR10: (32, 3),
     CELEBA: (64, 3),
     CELEBA_HQ: (256, 3),
+    CELEBA_HQ_LATENT: (256, 3),        # pixel dims; meta.json overrides
+    CELEBA_HQ_LATENT_PR05: (256, 3),
     FAKE32: (32, 3),
     FAKE256: (256, 3),
 }
@@ -165,6 +167,46 @@ class DatasetLoader:
         if self._image_size is None or self._channel is None:
             raise ValueError(f"image_size/channel required for dataset {name!r}")
 
+        self._latent = None  # LatentDataset for the pre-encoded LDM path
+        if name in (CELEBA_HQ_LATENT, CELEBA_HQ_LATENT_PR05):
+            # reference resolves these to an on-disk latent store
+            # (dataset.py:123-127: 'datasets/celeba_hq_256_latents'); root
+            # here is the --dataset_path CLI flag, overridable via env for
+            # tests/bench fixtures
+            from villandiffusion_tpu.data.latent import LatentDataset
+
+            sub = (
+                "celeba_hq_256_latents"
+                if name == CELEBA_HQ_LATENT
+                else "celeba_hq_256_pr05_latents"
+            )
+            ds_root = os.environ.get("VILLAN_LATENT_ROOT") or os.path.join(
+                root or "datasets", sub
+            )
+            if not os.path.isdir(ds_root):
+                raise FileNotFoundError(
+                    f"Latent dataset root {ds_root!r} not found; build it with "
+                    "`python -m villandiffusion_tpu.data.latent --out <root>` "
+                    "(reference: make_latent_dataset.py)"
+                )
+            self._latent = LatentDataset(ds_root, seed=seed)
+            meta = self._latent.meta
+            self._image_size = int(meta["image_size"])
+            self._channel = int(meta["channel"])
+            img_path = os.path.join(ds_root, "images.npy")
+            # pixel store is optional at train time; FID/inpaint need it
+            self._images = (
+                np.load(img_path, mmap_mode="r") if os.path.exists(img_path) else None
+            )
+            self._labels = np.full((len(self._latent),), -1.0, dtype=np.float32)
+            self._trigger = self._target = None
+            self._trigger_type = self._target_type = None
+            self._clean_rate = 1.0
+            self._poison_rate = 0.0
+            self._ext_poison_rate = 0.0
+            self._entries = None
+            self._flip = False
+            return
         if name in (FAKE32, FAKE256):
             # $VILLAN_FAKE_N overrides the synthetic example count so the
             # offline FAKE* datasets can stand in for CIFAR10-scale runs
@@ -214,6 +256,9 @@ class DatasetLoader:
         ext_poison_rate: float = 0.0,
     ) -> "DatasetLoader":
         self._clean_rate = float(clean_rate)
+        # PR05 is the reference's pre-poisoned-at-0.5 store (dataset.py:123)
+        if self._name == CELEBA_HQ_LATENT_PR05:
+            poison_rate = 0.5
         self._poison_rate = float(poison_rate)
         self._ext_poison_rate = float(ext_poison_rate)
         self._trigger_type, self._target_type = trigger_type, target_type
@@ -231,6 +276,15 @@ class DatasetLoader:
         R_trigger_only: bool = False,
         ext_R_trigger_only: bool = False,
     ) -> "DatasetLoader":
+        if self._latent is not None:
+            # latent stores are poisoned per-index at the LatentDataset layer
+            # regardless of split mode (dataset.py:441-443)
+            if self._trigger_type is None:
+                raise RuntimeError("call set_poison() before prepare_dataset()")
+            self._latent.set_poison(
+                self._trigger_type, self._target_type, self._poison_rate
+            )
+            return self
         n = len(self._images)
         rng = np.random.default_rng(self._seed)
         perm = rng.permutation(n).astype(np.int32)
@@ -334,6 +388,13 @@ class DatasetLoader:
         epoch_seed: int = 0,
     ) -> Iterator[Dict[str, np.ndarray]]:
         """One epoch of vectorized batches (dicts of NHWC float32 arrays)."""
+        if self._latent is not None:
+            yield from self._latent.get_dataloader(
+                batch_size=batch_size or self._batch_size,
+                shuffle=self._shuffle if shuffle is None else shuffle,
+                epoch_seed=epoch_seed,
+            )
+            return
         if self._entries is None:
             raise RuntimeError("call prepare_dataset() first")
         bs = batch_size or self._batch_size
@@ -387,7 +448,21 @@ class DatasetLoader:
         """Deterministic (no flip) transformed batch by entry index — used by
         eval paths that need 'the dataset tail' etc."""
         idx = np.asarray(idx)
+        if self._latent is not None:
+            # eval paths want PIXELS here (the CLI re-encodes via
+            # pipeline.encode); latent roots carry the source images
+            imgs = self._pixel_store()[idx].astype(np.float32) / 255.0
+            return {IMAGE: P.normalize(imgs, 0.0, 1.0, self._vmin, self._vmax)}
         return self._materialize(idx, np.zeros(len(idx), dtype=bool))
+
+    def _pixel_store(self) -> np.ndarray:
+        if self._images is None:
+            raise RuntimeError(
+                f"latent dataset root for {self._name!r} has no images.npy; "
+                "rebuild it with villandiffusion_tpu.data.latent (pixel images "
+                "are needed for FID statistics and inpaint tasks)"
+            )
+        return self._images
 
     # ---- eval helpers (reference surface) ----------------------------------
     def get_poisoned(self, imgs: np.ndarray) -> np.ndarray:
@@ -398,6 +473,8 @@ class DatasetLoader:
 
     # ---- properties --------------------------------------------------------
     def __len__(self) -> int:
+        if self._latent is not None:
+            return len(self._latent)
         return len(self._entries.src) if self._entries is not None else len(self._images)
 
     @property
@@ -415,6 +492,8 @@ class DatasetLoader:
     @property
     def images(self) -> np.ndarray:
         """Raw uint8 NHWC image store (for FID reference statistics)."""
+        if self._latent is not None:
+            return self._pixel_store()
         return self._images
 
     @property
