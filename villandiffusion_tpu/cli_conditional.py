@@ -37,6 +37,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["train", "sampling", "measure", "caption_sim"])
     p.add_argument("--pretrained_model_name_or_path", type=str, default=MODEL_TINY)
     p.add_argument("--dataset_name", type=str, default=CL.FAKE_CAPTION)
+    p.add_argument("--dataset_path", type=str, default="datasets",
+                   help="root for local dataset copies (offline path)")
     p.add_argument("--resolution", type=int, default=None)
     p.add_argument("--poison_rate", type=float, default=0.1)
     p.add_argument("--trigger", type=str, default=None,
@@ -181,6 +183,7 @@ def get_dataset(args):
         batch_size=args.train_batch_size,
         seed=args.seed or 0,
         num_fake=args.num_fake,
+        root=args.dataset_path,
     )
     dsl.set_poison(
         image_trigger=args.trigger,

@@ -36,6 +36,57 @@ CELEBA_HQ_DIALOG = "CELEBA-HQ-DIALOG"
 LAION_COCO = "LAION-COCO"
 FAKE_CAPTION = "FAKE-CAPTION"
 
+# local on-disk roots tried (under --dataset_path) before the HF hub;
+# reference sources: lambdalabs/pokemon-blip-captions, the CelebA-HQ-Dialog
+# zip+json layout, and LAION-COCO save_to_disk caches
+# (caption_dataset.py:118-142,1298-1447)
+_LOCAL_SUBDIRS = {
+    POKEMON_CAPTION: ("pokemon-blip-captions", "pokemon_caption", "pokemon"),
+    CELEBA_HQ_DIALOG: ("CelebA-HQ-Dialog", "celeba_hq_dialog"),
+    LAION_COCO: ("laion-coco", "laion_coco"),
+}
+
+# HF hub ids for the online fallback (caption_dataset.py:118-142)
+_HUB_IDS = {
+    POKEMON_CAPTION: "lambdalabs/pokemon-blip-captions",
+}
+
+
+def _load_caption_dataset(name, root, image_size, channel):
+    """(uint8 NHWC images, captions) from a local copy, else the HF hub."""
+    from villandiffusion_tpu.data import local as LF
+
+    base = LF.find_local_root(root, _LOCAL_SUBDIRS[name])
+    if base is not None:
+        imgs, caps, _labels = LF.load_images_and_captions(base, image_size, channel)
+        if caps is None:
+            raise ValueError(
+                f"local dataset at {base!r} has no captions; caption datasets "
+                "need a text column / metadata.jsonl / captions_hq.json"
+            )
+        return imgs, caps
+    hub = _HUB_IDS.get(name)
+    if hub is None:
+        raise NotImplementedError(
+            f"{name} needs a local copy under <dataset_path>/"
+            f"{_LOCAL_SUBDIRS[name][0]} (no hub fallback for this dataset)"
+        )
+    from datasets import load_dataset  # network-gated fallback
+
+    ds = load_dataset(hub, split="train")
+    imgs = np.empty((len(ds), image_size, image_size, channel), np.uint8)
+    caps = []
+    from PIL import Image as PILImage
+
+    for i, ex in enumerate(ds):
+        img = ex["image"].convert("L" if channel == 1 else "RGB")
+        if img.size != (image_size, image_size):
+            img = img.resize((image_size, image_size), PILImage.BILINEAR)
+        arr = np.asarray(img, np.uint8)
+        imgs[i] = arr[..., None] if arr.ndim == 2 else arr
+        caps.append(ex["text"])
+    return imgs, caps
+
 
 class CaptionBackdoor:
     """Text-trigger table + random-position insertion
@@ -155,6 +206,7 @@ class CaptionDatasetLoader:
         vmax: float = 1.0,
         seed: int = 0,
         num_fake: int = 64,
+        root: Optional[str] = None,
     ):
         self._name = name
         self._image_size = image_size
@@ -166,9 +218,8 @@ class CaptionDatasetLoader:
             self._images = _synthetic_images(num_fake, image_size, channel, seed)
             self._captions = [_fake_caption(i) for i in range(num_fake)]
         elif name in (POKEMON_CAPTION, CELEBA_HQ_DIALOG, LAION_COCO):
-            raise NotImplementedError(
-                f"{name} requires HF hub access (unavailable offline); use "
-                f"{FAKE_CAPTION} or provide a local dataset."
+            self._images, self._captions = _load_caption_dataset(
+                name, root, image_size, channel
             )
         else:
             raise NotImplementedError(f"Undefined caption dataset: {name!r}")

@@ -101,6 +101,28 @@ def _synthetic_images(n: int, size: int, channel: int, seed: int) -> np.ndarray:
     return imgs
 
 
+# local on-disk roots tried (under --dataset_path) before the HF hub;
+# celeba_hq_256 is the reference's own local path (dataset.py:122)
+_LOCAL_SUBDIRS = {
+    MNIST: ("mnist",),
+    CIFAR10: ("cifar10",),
+    CELEBA: ("celeba", "celebA"),
+    CELEBA_HQ: ("celeba_hq_256", "celeba_hq", "CelebA-HQ"),
+}
+
+
+def _load_real_images(name, root, image_size, channel):
+    """Local-files path first (image-folder/npy/parquet/arrow, memory-mapped
+    for big sets), HF hub as the online fallback.  Returns (images, labels)."""
+    from villandiffusion_tpu.data import local as LF
+
+    base = LF.find_local_root(root, _LOCAL_SUBDIRS[name])
+    if base is not None:
+        imgs, _caps, labels = LF.load_images_and_captions(base, image_size, channel)
+        return imgs, labels
+    return _load_hf_images(name, image_size, channel), None
+
+
 def _load_hf_images(name: str, image_size: int, channel: int) -> np.ndarray:
     """Load a HuggingFace dataset into a uint8 NHWC array (network-gated)."""
     try:
@@ -224,16 +246,26 @@ class DatasetLoader:
                 num_fake, self._image_size, self._channel, seed
             )
         elif name in (MNIST, CIFAR10, CELEBA, CELEBA_HQ):
-            self._images = _load_hf_images(name, self._image_size, self._channel)
+            self._images, src_labels = _load_real_images(
+                name, root, self._image_size, self._channel
+            )
+            if src_labels is not None:
+                self._labels = np.asarray(src_labels, dtype=np.float32)
         else:
             raise NotImplementedError(f"Undefined dataset: {name!r}")
-        self._labels = np.full((len(self._images),), -1.0, dtype=np.float32)
+        if not hasattr(self, "_labels") or len(self._labels) != len(self._images):
+            self._labels = np.full((len(self._images),), -1.0, dtype=np.float32)
         if label is not None:
-            labels = label if isinstance(label, (list, tuple)) else [label]
-            raise NotImplementedError(
-                f"per-class filtering ({labels}) requires labeled sources; "
-                "not wired for this dataset"
-            )
+            # per-class filter before splitting (dataset.py:424-425)
+            wanted = label if isinstance(label, (list, tuple)) else [label]
+            if np.all(self._labels < 0):
+                raise NotImplementedError(
+                    f"per-class filtering ({list(wanted)}) requires a labeled "
+                    "source (npz/parquet/arrow with a label column)"
+                )
+            keep = np.isin(self._labels, np.asarray(wanted, np.float32))
+            self._images = np.ascontiguousarray(self._images[keep])
+            self._labels = self._labels[keep]
 
         self._trigger: Optional[np.ndarray] = None
         self._target: Optional[np.ndarray] = None
