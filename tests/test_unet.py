@@ -109,7 +109,7 @@ def _flax_to_torch_sd(params, config):
             sd[tpath + ".weight"] = np.transpose(arr, (3, 2, 0, 1))
         elif leaf_name == "kernel":
             sd[tpath + ".weight"] = np.transpose(arr, (1, 0))
-        elif leaf_name == "scale":
+        elif leaf_name in ("scale", "weight"):  # GN scale / fourier W
             sd[tpath + ".weight"] = arr
         else:
             sd[tpath + ".bias"] = arr
@@ -119,6 +119,8 @@ def _flax_to_torch_sd(params, config):
             return "time_embedding.linear_1"
         if flax_module == "time_dense_2":
             return "time_embedding.linear_2"
+        if flax_module == "time_proj":
+            return "time_proj"
         if flax_module == "norm_out":
             return "conv_norm_out"
         if flax_module in ("conv_in", "conv_out"):
@@ -137,6 +139,11 @@ def _flax_to_torch_sd(params, config):
             return f"{kind}_blocks.{i}.downsamplers.0"
         if parts[2] == "upsample":
             return f"{kind}_blocks.{i}.upsamplers.0"
+        # NCSN++ skip-block modules (diffusers Skip*Block2D layout)
+        if parts[2] == "resnet":  # down_{i}_resnet_down / up_{i}_resnet_up
+            return f"{kind}_blocks.{i}.resnet_{parts[3]}"
+        if parts[2] == "skip":  # skip_conv / skip_norm
+            return f"{kind}_blocks.{i}.skip_{parts[3]}"
         raise KeyError(flax_module)
 
     def walk(node, tprefix, leafname_parent):
@@ -149,6 +156,21 @@ def _flax_to_torch_sd(params, config):
 
     walk(params["params"], None, None)
     return sd
+
+
+def _ncsnpp_tiny_config():
+    """Tiny NCSN++: same block vocabulary as fusing/cifar10-ncsnpp-ve
+    (/root/reference/model.py:836-858) at smoke-test width."""
+    return tiny_config(
+        block_out_channels=(32, 32),
+        down_block_types=("SkipDownBlock2D", "AttnSkipDownBlock2D"),
+        up_block_types=("AttnSkipUpBlock2D", "SkipUpBlock2D"),
+        layers_per_block=1,
+        norm_num_groups=None,
+        time_embedding_type="fourier",
+        norm_eps=1e-6,
+        mid_block_scale_factor=float(np.sqrt(2.0)),
+    )
 
 
 class TestConverter:
@@ -180,6 +202,50 @@ class TestConverter:
         y1 = jax.jit(model.apply)(params, x, jnp.array([5]))
         y2 = jax.jit(model.apply)(back, x, jnp.array([5]))
         assert jnp.allclose(y1, y2, atol=1e-6)
+
+    def test_ncsnpp_roundtrip_strict(self):
+        """NCSN++ skip-block layout: every synthesized diffusers key maps
+        (strict), values roundtrip exactly, converted params run."""
+        config = _ncsnpp_tiny_config()
+        model = UNet2D(config)
+        params = model.init_params(jax.random.PRNGKey(0), batch=2)
+        sd = _flax_to_torch_sd(params, config)
+        # the key manifest is exactly the diffusers Skip*Block2D vocabulary
+        assert "time_proj.weight" in sd
+        assert "down_blocks.0.resnet_down.conv1.weight" in sd
+        assert "down_blocks.0.skip_conv.weight" in sd
+        assert "up_blocks.0.resnet_up.conv_shortcut.weight" in sd
+        assert "up_blocks.0.skip_norm.weight" in sd
+        # final skip up block combines through conv_out (no skip_conv)
+        assert "up_blocks.1.skip_conv.weight" not in sd
+        back = C.torch_state_dict_to_flax(sd, config, strict=True)
+
+        flat_a = {
+            jax.tree_util.keystr(p): v
+            for p, v in jax.tree_util.tree_flatten_with_path(params)[0]
+        }
+        flat_b = {
+            jax.tree_util.keystr(p): v
+            for p, v in jax.tree_util.tree_flatten_with_path(back)[0]
+        }
+        assert set(flat_a) == set(flat_b)
+        for key in flat_a:
+            assert flat_a[key].shape == flat_b[key].shape, key
+            assert np.allclose(flat_a[key], flat_b[key]), key
+
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3))
+        sigma = jnp.array([3.0, 1.0])
+        y1 = jax.jit(model.apply)(params, x, sigma)
+        y2 = jax.jit(model.apply)(back, x, sigma)
+        assert jnp.allclose(y1, y2, atol=1e-6)
+
+    def test_strict_rejects_unknown_keys(self):
+        config = tiny_config()
+        _model, params = tiny_model_and_params()
+        sd = _flax_to_torch_sd(params, config)
+        sd["down_blocks.0.mystery.weight"] = np.zeros((4, 4))
+        with pytest.raises(ValueError, match="not mapped"):
+            C.torch_state_dict_to_flax(sd, config, strict=True)
 
     def test_config_from_diffusers_json(self):
         cfg = C.config_from_diffusers_json(

@@ -71,16 +71,50 @@ def _convert_attn(tree, sd, tp, fp):
         _convert_linear(tree, sd, f"{tp}.{name}", fp + (name,))
 
 
-def torch_state_dict_to_flax(sd: Dict[str, np.ndarray], config: UNet2DConfig) -> Dict:
-    """Build the UNet2D 'params' tree from a diffusers state_dict."""
-    sd = {k: np.asarray(v, dtype=np.float32) for k, v in sd.items()}
+class _TrackedDict(dict):
+    """State-dict wrapper recording which torch keys the conversion read."""
+
+    def __init__(self, sd):
+        super().__init__(sd)
+        self.consumed = set()
+
+    def __getitem__(self, k):
+        self.consumed.add(k)
+        return super().__getitem__(k)
+
+
+def torch_state_dict_to_flax(
+    sd: Dict[str, np.ndarray], config: UNet2DConfig, strict: bool = False
+) -> Dict:
+    """Build the UNet2D 'params' tree from a diffusers state_dict.
+
+    Covers the DDPM/LDM block vocabulary AND the NCSN++ skip-block layout
+    (Skip*/AttnSkip* blocks with FIR resnet up/down-sampling, 1x1 input-
+    pyramid combiners, skip_norm/skip_conv output pyramid, GaussianFourier
+    time embedding) used by the reference's VE checkpoints
+    (/root/reference/model.py:675-698, fusing/cifar10-ncsnpp-ve layout).
+
+    ``strict=True`` additionally asserts every checkpoint tensor was mapped —
+    any unconsumed key means the converter does not understand the layout.
+    """
+    sd = _TrackedDict(
+        {k: np.asarray(v, dtype=np.float32) for k, v in sd.items()}
+    )
     tree: Dict = {}
+    if config.time_embedding_type == "fourier":
+        # GaussianFourierProjection random weight; very old diffusers
+        # checkpoints name it `W`, newer `weight`
+        w_key = "time_proj.weight" if "time_proj.weight" in sd else "time_proj.W"
+        _put(tree, ("time_proj", "weight"), sd[w_key])
     _convert_linear(tree, sd, "time_embedding.linear_1", ("time_dense_1",))
     _convert_linear(tree, sd, "time_embedding.linear_2", ("time_dense_2",))
     _convert_conv(tree, sd, "conv_in", ("conv_in",))
 
+    n_blocks = len(config.block_out_channels)
     for i, btype in enumerate(config.down_block_types):
         attn = "Attn" in btype
+        is_skip = "Skip" in btype
+        is_final = i == n_blocks - 1
         for j in range(config.layers_per_block):
             _convert_resnet(
                 tree, sd, f"down_blocks.{i}.resnets.{j}", (f"down_{i}_res_{j}",)
@@ -89,7 +123,14 @@ def torch_state_dict_to_flax(sd: Dict[str, np.ndarray], config: UNet2DConfig) ->
                 _convert_attn(
                     tree, sd, f"down_blocks.{i}.attentions.{j}", (f"down_{i}_attn_{j}",)
                 )
-        if f"down_blocks.{i}.downsamplers.0.conv.weight" in sd:
+        if is_skip and not is_final:
+            _convert_resnet(
+                tree, sd, f"down_blocks.{i}.resnet_down", (f"down_{i}_resnet_down",)
+            )
+            _convert_conv(
+                tree, sd, f"down_blocks.{i}.skip_conv", (f"down_{i}_skip_conv",)
+            )
+        elif f"down_blocks.{i}.downsamplers.0.conv.weight" in sd:
             _convert_conv(
                 tree,
                 sd,
@@ -104,6 +145,8 @@ def torch_state_dict_to_flax(sd: Dict[str, np.ndarray], config: UNet2DConfig) ->
 
     for i, btype in enumerate(config.up_block_types):
         attn = "Attn" in btype
+        is_skip = "Skip" in btype
+        is_final = i == n_blocks - 1
         for j in range(config.layers_per_block + 1):
             _convert_resnet(
                 tree, sd, f"up_blocks.{i}.resnets.{j}", (f"up_{i}_res_{j}",)
@@ -112,13 +155,26 @@ def torch_state_dict_to_flax(sd: Dict[str, np.ndarray], config: UNet2DConfig) ->
                 _convert_attn(
                     tree, sd, f"up_blocks.{i}.attentions.{j}", (f"up_{i}_attn_{j}",)
                 )
-        if f"up_blocks.{i}.upsamplers.0.conv.weight" in sd:
+        if is_skip and not is_final:
+            _convert_resnet(
+                tree, sd, f"up_blocks.{i}.resnet_up", (f"up_{i}_resnet_up",)
+            )
+            _convert_norm(tree, sd, f"up_blocks.{i}.skip_norm", (f"up_{i}_skip_norm",))
+            _convert_conv(tree, sd, f"up_blocks.{i}.skip_conv", (f"up_{i}_skip_conv",))
+        elif f"up_blocks.{i}.upsamplers.0.conv.weight" in sd:
             _convert_conv(
                 tree, sd, f"up_blocks.{i}.upsamplers.0.conv", (f"up_{i}_upsample", "conv")
             )
 
     _convert_norm(tree, sd, "conv_norm_out", ("norm_out",))
     _convert_conv(tree, sd, "conv_out", ("conv_out",))
+    if strict:
+        leftover = set(sd.keys()) - sd.consumed
+        if leftover:
+            raise ValueError(
+                f"{len(leftover)} checkpoint tensors not mapped: "
+                f"{sorted(leftover)[:8]}..."
+            )
     return {"params": tree}
 
 
@@ -164,4 +220,4 @@ def load_unet_checkpoint(ckpt_dir: str) -> Tuple[UNet2DConfig, Dict]:
         }
     else:
         raise FileNotFoundError(f"No model weights found under {ckpt_dir}")
-    return config, torch_state_dict_to_flax(sd, config)
+    return config, torch_state_dict_to_flax(sd, config, strict=True)

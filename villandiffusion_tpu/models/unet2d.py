@@ -560,12 +560,14 @@ class UNet2D(nn.Module):
                     h = AttentionBlock(
                         groups=groups, eps=cfg.norm_eps,
                         head_dim=cfg.attention_head_dim,
+                        rescale_output_factor=scale,
                         name=f"down_{i}_attn_{j}",
                     )(h)
                 skips.append(h)
             if not is_final:
                 if is_skip:
-                    # FIR resnet-downsample + input-pyramid combiner
+                    # FIR resnet-downsample + 1x1 input-pyramid combiner
+                    # (diffusers SkipDownBlock2D / score_sde 'input_skip')
                     h = ResnetBlock(
                         out_channels=out_ch, groups=groups, eps=cfg.norm_eps,
                         output_scale_factor=scale, updown="down",
@@ -573,7 +575,7 @@ class UNet2D(nn.Module):
                     )(h, temb)
                     skip_sample = fir_downsample(skip_sample)
                     h = h + nn.Conv(
-                        out_ch, (3, 3), padding=[(1, 1), (1, 1)],
+                        out_ch, (1, 1),
                         param_dtype=jnp.float32, name=f"down_{i}_skip_conv",
                     )(skip_sample)
                 else:
@@ -619,22 +621,26 @@ class UNet2D(nn.Module):
                     h = AttentionBlock(
                         groups=groups, eps=cfg.norm_eps,
                         head_dim=cfg.attention_head_dim,
+                        rescale_output_factor=scale,
                         name=f"up_{i}_attn_{j}",
                     )(h)
             if is_skip:
-                # accumulate the output pyramid at this resolution
+                # accumulate the output pyramid at this resolution; the FINAL
+                # block contributes through norm_out/conv_out instead (its
+                # role as the last skip combine — diffusers SkipUpBlock2D has
+                # skip_norm/skip_conv only when add_upsample)
                 if out_pyramid is not None:
                     out_pyramid = fir_upsample(out_pyramid)
-                s = group_norm(
-                    h, _auto_groups(out_ch, groups), cfg.norm_eps,
-                    f"up_{i}_skip_norm", act=True,
-                )
-                s = nn.Conv(
-                    cfg.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
-                    param_dtype=jnp.float32, name=f"up_{i}_skip_conv",
-                )(s)
-                out_pyramid = s if out_pyramid is None else out_pyramid + s
                 if not is_final:
+                    s = group_norm(
+                        h, _auto_groups(out_ch, groups), cfg.norm_eps,
+                        f"up_{i}_skip_norm", act=True,
+                    )
+                    s = nn.Conv(
+                        cfg.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
+                        param_dtype=jnp.float32, name=f"up_{i}_skip_conv",
+                    )(s)
+                    out_pyramid = s if out_pyramid is None else out_pyramid + s
                     h = ResnetBlock(
                         out_channels=out_ch, groups=groups, eps=cfg.norm_eps,
                         output_scale_factor=scale, updown="up",

@@ -275,7 +275,7 @@ def load_vq_checkpoint(vq_dir: str) -> VAEBundle:
         latent_channels=cfg.get("latent_channels", 3),
         num_vq_embeddings=cfg.get("num_vq_embeddings", 8192),
     )
-    params = _convert_vq_state_dict(sd, model)
+    params = _convert_vq_state_dict(sd, model, strict=True)
     return VAEBundle(model=model, params=params)
 
 
@@ -301,14 +301,31 @@ def load_kl_checkpoint(vae_dir: str) -> VAEBundle:
         out_channels=cfg.get("out_channels", 3),
         latent_channels=cfg.get("latent_channels", 4),
     )
-    params = _convert_vq_state_dict(sd, model, has_codebook=False)
+    params = _convert_vq_state_dict(sd, model, has_codebook=False, strict=True)
     return VAEBundle(
         model=model, params=params,
         scaling_factor=cfg.get("scaling_factor", 0.18215),
     )
 
 
-def _convert_vq_state_dict(sd, model, has_codebook: bool = True) -> dict:
+def _convert_vq_state_dict(
+    sd, model, has_codebook: bool = True, strict: bool = False
+) -> dict:
+    """Map a diffusers VQModel/AutoencoderKL state_dict onto the flax tree.
+
+    ``strict=True`` asserts every checkpoint tensor was consumed — an
+    unconsumed key means the converter does not understand the layout
+    (guards the CompVis/ldm-celebahq-256 vqvae and SD-v1 vae conversions,
+    /root/reference/model.py:706-776)."""
+    consumed = set()
+    raw_get = sd.__getitem__
+
+    class _Tracked(dict):
+        def __getitem__(self, k):
+            consumed.add(k)
+            return raw_get(k)
+
+    sd = _Tracked(sd)
     tree: dict = {"params": {}}
     p = tree["params"]
 
@@ -380,4 +397,11 @@ def _convert_vq_state_dict(sd, model, has_codebook: bool = True) -> dict:
     conv("post_quant_conv", ("post_quant_conv",))
     if has_codebook:
         p["codebook"] = np.asarray(sd["quantize.embedding.weight"], np.float32)
+    if strict:
+        leftover = set(sd.keys()) - consumed
+        if leftover:
+            raise ValueError(
+                f"{len(leftover)} VAE checkpoint tensors not mapped: "
+                f"{sorted(leftover)[:8]}..."
+            )
     return tree
