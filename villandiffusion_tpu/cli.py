@@ -11,6 +11,7 @@ Usage:
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import traceback
@@ -378,7 +379,10 @@ def train_loop(
     trainer, mesh = make_trainer(config, bundle, steps_per_epoch)
     state = trainer.init_state(bundle.params)
     ckpt_mgr = CheckpointManager(config.ckpt_path)
-    logger = MetricsLogger(config.output_dir)
+    logger = MetricsLogger(
+        config.output_dir, project=config.project,
+        config=dataclasses.asdict(config),
+    )
     rng = jax.random.PRNGKey(config.seed)
 
     if config.mode == C.MODE_RESUME:
@@ -473,6 +477,7 @@ def train_loop(
         save_everything(completed_epoch)
         ckpt_mgr.wait()
         do_sampling("final")
+        logger.close()
     bundle.params = state.params
 
 

@@ -259,7 +259,9 @@ def train(args, stack: SDStack, out_dir: str) -> None:
             )
             Log.info(f"resumed LoRA weights from {ckpt}")
     step_fn = trainer.make_step()
-    logger = MetricsLogger(out_dir)
+    logger = MetricsLogger(
+        out_dir, project=getattr(args, "project", None), config=vars(args)
+    )
 
     tok_collate = CL.collate_fn_backdoor_gen(
         stack.tokenizer, caption_augment=args.caption_augment
