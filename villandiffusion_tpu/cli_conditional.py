@@ -47,6 +47,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--target", type=str, default="CAT")
     p.add_argument("--rand_caption_trig_pos", type=int, default=0)
     p.add_argument("--use_lora", action="store_true", default=True)
+    p.add_argument("--full_finetune", action="store_true", default=False,
+                   help="train ALL params, not just LoRA (required for real "
+                        "implants on the random-init TINY stack: LoRA cannot "
+                        "modulate a backbone with no pretrained prior)")
     p.add_argument("--lora_r", type=int, default=4)
     p.add_argument("--learning_rate", type=float, default=1e-4)
     p.add_argument("--lr_warmup_steps", type=int, default=500)
@@ -195,11 +199,14 @@ def get_dataset(args):
     return dsl
 
 
-def save_lora(out_dir: str, params) -> None:
-    from villandiffusion_tpu.models.unet2d_condition import split_lora_params
+def save_lora(out_dir: str, params, full: bool = False) -> None:
+    from villandiffusion_tpu.models.unet2d_condition import (
+        split_all_params,
+        split_lora_params,
+    )
 
     os.makedirs(out_dir, exist_ok=True)
-    flat = split_lora_params(params)
+    flat = split_all_params(params) if full else split_lora_params(params)
     np.savez(os.path.join(out_dir, "lora_weights.npz"), **flat)
 
 
@@ -236,11 +243,19 @@ def train(args, stack: SDStack, out_dir: str) -> None:
         unet_apply=stack.unet.apply,
         loss=loss,
         terms=terms,
-        optimizer=CT.make_lora_optimizer(
-            stack.params,
-            args.learning_rate,
-            warmup_steps=args.lr_warmup_steps,
-            total_steps=args.max_train_steps,
+        optimizer=(
+            CT.make_full_optimizer(
+                args.learning_rate,
+                warmup_steps=args.lr_warmup_steps,
+                total_steps=args.max_train_steps,
+            )
+            if getattr(args, "full_finetune", False)
+            else CT.make_lora_optimizer(
+                stack.params,
+                args.learning_rate,
+                warmup_steps=args.lr_warmup_steps,
+                total_steps=args.max_train_steps,
+            )
         ),
         mesh=mesh,
     )
@@ -285,12 +300,15 @@ def train(args, stack: SDStack, out_dir: str) -> None:
                 logger.log({"loss": float(lval)}, step=step)
                 Log.info(f"step {step}: loss {float(lval):.5f}")
             if step % args.checkpointing_steps == 0:
-                save_lora(os.path.join(out_dir, f"lora_{step}"), state.params)
+                save_lora(
+                    os.path.join(out_dir, f"lora_{step}"), state.params,
+                    full=getattr(args, "full_finetune", False),
+                )
             if step >= args.max_train_steps:
                 break
         epoch += 1
-    save_lora(out_dir, state.params)
-    Log.info(f"saved final LoRA weights to {out_dir}")
+    save_lora(out_dir, state.params, full=getattr(args, "full_finetune", False))
+    Log.info(f"saved final weights to {out_dir}")
 
 
 def make_pipeline(args, stack: SDStack, out_dir: str):

@@ -339,6 +339,18 @@ def split_lora_params(params):
     return out
 
 
+def split_all_params(params):
+    """Flat {path: array} dict of EVERY leaf (full-finetune checkpoints;
+    merge_lora_params writes any flat path dict back into the tree)."""
+    import jax.tree_util as jtu
+
+    out = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        keys = tuple(k.key if isinstance(k, jtu.DictKey) else str(k) for k in path)
+        out["/".join(keys)] = np.asarray(leaf)
+    return out
+
+
 def merge_lora_params(params, lora_flat: dict):
     """Write a flat {path: array} LoRA dict back into a full param tree."""
     params = unfreeze(params) if hasattr(params, "unfreeze") else dict(params)

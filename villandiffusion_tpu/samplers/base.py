@@ -9,7 +9,8 @@ Contract parity with the reference's forked-diffusers pipelines
 - ``init``: initial latent (enables trigger-shifted noise `noise + encode(R)`)
 - ``start_from``: begin the denoise loop at step index k (inpainting tasks)
 - ``save_every_step``: capture the trajectory; exposed as ``.movie``
-- ``output_type=None``: numpy float NHWC in [0, 1]
+- ``output_type=None``: numpy float NHWC in [0, 1]; ``"uint8"``: quantized
+  on-device; ``"latent"``: raw model-space output, no VAE decode
 - ``pipeline.encode(x)``: pixel->model space (identity for pixel models,
   VAE encode for latent models)
 
@@ -124,7 +125,7 @@ class DiffusionPipeline:
         num_inference_steps: int,
         start_from: int,
         movie: str = "none",          # "none" | "first" | "all"
-        uint8: bool = False,
+        out: str = "float",           # "float" | "uint8" | "latent"
         eta: Optional[float] = None,
     ):
         # eta is threaded here (rather than mutating self.sampler) so each
@@ -176,13 +177,19 @@ class DiffusionPipeline:
             (x_final, _, _, first), ys = jax.lax.scan(
                 body, (x, carry0, rng, first0), idxs
             )
-            images = self._to_images(x_final)
-            if uint8:
-                # quantize on-device: the measure path writes PNGs (u8) and
-                # the reference computes metrics FROM those PNGs, so u8 is
-                # the contract-exact output — and it fetches 4x fewer bytes
-                # over the host link than f32
-                images = jnp.round(images * 255.0).astype(jnp.uint8)
+            if out == "latent":
+                # raw model-space output (diffusers output_type="latent"):
+                # skips the VAE decode — the honest comparison space when the
+                # decoder would wash out differences (e.g. random-init VAE)
+                images = x_final
+            else:
+                images = self._to_images(x_final)
+                if out == "uint8":
+                    # quantize on-device: the measure path writes PNGs (u8)
+                    # and the reference computes metrics FROM those PNGs, so
+                    # u8 is the contract-exact output — and it fetches 4x
+                    # fewer bytes over the host link than f32
+                    images = jnp.round(images * 255.0).astype(jnp.uint8)
             return images, ys, first
 
         return jax.jit(run)
@@ -212,13 +219,18 @@ class DiffusionPipeline:
         # scaled by the scheduler's init_noise_sigma (1.0 for the VP family,
         # so backdoor `noise + trigger` inits are unaffected there).
         init = jnp.asarray(init) * self.sampler.init_latent_scale()
-        uint8 = output_type in ("uint8", "u8")
+        if output_type in ("uint8", "u8"):
+            out = "uint8"
+        elif output_type == "latent":
+            out = "latent"
+        else:
+            out = "float"
         movie_mode = "none" if not save_every_step else movie_capture
         eta_key = None
         if eta is not None and hasattr(self.sampler, "eta"):
             eta_key = float(eta)
         run = self._compiled_run(
-            int(num_inference_steps), int(start_from), movie_mode, uint8, eta_key
+            int(num_inference_steps), int(start_from), movie_mode, out, eta_key
         )
         images, ys, first = run(self.params, init, rng)
         if host:

@@ -182,6 +182,27 @@ def make_lora_optimizer(
     )
 
 
+def make_full_optimizer(
+    learning_rate: float = 1e-4,
+    warmup_steps: int = 500,
+    total_steps: int = 50_000,
+    grad_clip: float = 1.0,
+    weight_decay: float = 1e-2,
+) -> optax.GradientTransformation:
+    """Full-parameter AdamW (beyond the reference's LoRA-only trainer).
+
+    Needed offline: with a RANDOM-INIT base UNet (the TINY stack — no
+    pretrained SD weights without egress) LoRA has nothing to modulate, so
+    end-to-end implant evidence requires training the whole stack."""
+    return optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adamw(
+            cosine_warmup_schedule(learning_rate, warmup_steps, total_steps),
+            weight_decay=weight_decay,
+        ),
+    )
+
+
 @dataclasses.dataclass
 class ConditionalTrainer:
     unet_apply: Callable               # (params, x, t, emb) -> pred
