@@ -158,10 +158,9 @@ def _image_trigger(
         t_pad = y if y > 0 else residual + y
     canvas = np.full((image_size, image_size, channel), vmin, dtype=np.float32)
     canvas[t_pad : t_pad + trigger_sz, l_pad : l_pad + trigger_sz, :] = art
-    # near-white (>= 0.999 in output range after mapping 1.0 -> vmax) -> vmin
-    white_thres = normalize(np.float32(0.999), 0.0, 1.0, vmin, vmax) if vmax <= 1.0 else 0.999
-    # The reference thresholds the *normalized* tensor at the literal 0.999
-    # (dataset.py:759); with vmax=1 ranges that means "almost vmax".
+    # near-white -> vmin: the reference thresholds the *normalized* tensor at
+    # the literal 0.999 (dataset.py:759); with vmax=1 ranges that means
+    # "almost vmax".
     canvas[canvas >= 0.999 * (vmax - vmin) + vmin] = vmin
     return canvas
 

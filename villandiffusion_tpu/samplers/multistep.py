@@ -230,6 +230,12 @@ class UniPCSampler(MultistepSampler):
     algorithm: str = ALGO_UNIPC
     solver_order: int = 2
 
+    def init_carry(self, x, num_inference_steps):
+        # the order-3 CORRECTOR at position i uses model outputs at
+        # i-1/i-2/i-3: one more history slot than the predictor
+        zeros = jnp.zeros_like(x)
+        return {"m1": zeros, "m2": zeros, "m3": zeros, "last_x": zeros}
+
     def _phi_terms(self, h):
         """b coefficients for bh2: b_i = h_phi_{i} * i! / B_h."""
         hh = -h  # predict_x0 space
@@ -275,9 +281,10 @@ class UniPCSampler(MultistepSampler):
 
         return jax.lax.switch(order - 1, [o1, o2, o3])
 
-    def _unic(self, order, last_x, this_x, m_t, m0, m1, lam, alpha, sigma, i):
+    def _unic(self, order, last_x, this_x, m_t, m0, m1, m2, lam, alpha, sigma, i):
         """Corrector of this_x (the sample at position i) using the model eval
-        m_t at position i; s0 is position i-1."""
+        m_t at position i; s0 is position i-1 (m0/m1/m2 are the model outputs
+        at i-1/i-2/i-3)."""
         a_t, s_t = alpha[i], sigma[i]
         s_s0 = sigma[jnp.maximum(i - 1, 0)]
         h = lam[i] - lam[jnp.maximum(i - 1, 0)]
@@ -300,11 +307,18 @@ class UniPCSampler(MultistepSampler):
             rk1 = (lam[jnp.maximum(i - 2, 0)] - lam[jnp.maximum(i - 1, 0)]) / h
             rk2 = (lam[jnp.maximum(i - 3, 0)] - lam[jnp.maximum(i - 1, 0)]) / h
             D1_1 = (m1 - m0) / rk1
-            # note: order-3 corrector needs m2 history; approximated by D1_1
-            R = jnp.stack([jnp.stack([rk1**0, 1.0]), jnp.stack([rk1, 1.0])])
-            b = jnp.stack([bs[0], bs[1]])
+            D1_2 = (m2 - m0) / rk2
+            one = jnp.ones_like(rk1)
+            R = jnp.stack([
+                jnp.stack([one, one, one]),
+                jnp.stack([rk1, rk2, one]),
+                jnp.stack([rk1 * rk1, rk2 * rk2, one]),
+            ])
+            b = jnp.stack([bs[0], bs[1], bs[2]])
             rhos = jnp.linalg.solve(R, b)
-            return x_t_ - a_t * B_h * (rhos[0] * D1_1 + rhos[1] * D1_t)
+            return x_t_ - a_t * B_h * (
+                rhos[0] * D1_1 + rhos[1] * D1_2 + rhos[2] * D1_t
+            )
 
         return jax.lax.switch(order - 1, [o1, o2, o3])
 
@@ -323,12 +337,14 @@ class UniPCSampler(MultistepSampler):
         corr_order = orders[jnp.maximum(i - 1, 0)]
         corrected = self._unic(
             corr_order, carry["last_x"], x, m_t, carry["m1"], carry["m2"],
-            lam, alpha, sigma, i,
+            carry["m3"], lam, alpha, sigma, i,
         )
         x_c = jnp.where(i > 0, corrected, x)
 
         x_next = self._unip(order, x_c, m_t, carry["m1"], carry["m2"], lam, alpha, sigma, i)
-        new_carry = {"m1": m_t, "m2": carry["m1"], "last_x": x_c}
+        new_carry = {
+            "m1": m_t, "m2": carry["m1"], "m3": carry["m2"], "last_x": x_c
+        }
         return x_next, new_carry
 
     def _convert(self, x, eps, alpha_t, sigma_t):
