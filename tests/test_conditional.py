@@ -141,6 +141,20 @@ class TestUNetCondition:
         for k in flat:
             assert np.allclose(flat2[k], flat[k] + 1.0)
 
+    def test_full_param_split_roundtrip(self, tiny_cond):
+        """split_all_params covers EVERY leaf and merges back losslessly
+        (the --full_finetune checkpoint format)."""
+        from villandiffusion_tpu.models.unet2d_condition import split_all_params
+
+        model, params = tiny_cond
+        flat = split_all_params(params)
+        assert len(flat) == len(jax.tree.leaves(params))
+        assert len(flat) > len(split_lora_params(params))
+        zeroed = jax.tree.map(jnp.zeros_like, params)
+        merged = merge_lora_params(zeroed, flat)
+        for a, b in zip(jax.tree.leaves(merged), jax.tree.leaves(params)):
+            assert np.allclose(np.asarray(a), np.asarray(b))
+
 
 class TestConditionalTraining:
     def test_lora_only_updates_and_loss_decreases(self):

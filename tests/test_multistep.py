@@ -85,6 +85,7 @@ SOLVERS = {
     "dpm_o3": (MultistepSampler(schedule=SCHED, algorithm=ALGO_DPM, solver_order=3), 20),
     "deis": (MultistepSampler(schedule=SCHED, algorithm=ALGO_DEIS, solver_order=2), 20),
     "unipc": (UniPCSampler(schedule=SCHED), 20),
+    "unipc_o3": (UniPCSampler(schedule=SCHED, solver_order=3), 20),
     "pndm": (PNDMSampler(schedule=SCHED), 50),
     "heun": (HeunSampler(schedule=SCHED), 30),
     "lmsd": (LMSDSampler(schedule=SCHED), 50),
@@ -98,7 +99,7 @@ SOLVERS = {
 TOL = {
     "ddim20": 0.15, "dpmpp_o1": 0.15, "dpmpp_o2": 0.15, "dpmpp_o3": 0.15,
     "dpm_o1": 0.15, "dpm_o2": 0.15, "dpm_o3": 0.10, "deis": 0.25,
-    "unipc": 0.15, "pndm": 0.02, "heun": 0.03, "lmsd": 0.02,
+    "unipc": 0.15, "unipc_o3": 0.15, "pndm": 0.02, "heun": 0.03, "lmsd": 0.02,
 }
 
 

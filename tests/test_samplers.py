@@ -149,3 +149,50 @@ class TestPipelineContract:
         out = pipe(batch_size=1, num_inference_steps=20, rng=jax.random.PRNGKey(0))
         # clipping x0 to +-0.1 must bound the final sample near 0.1 not 0.3
         assert np.allclose(out.images, 0.1 / 2 + 0.5, atol=2e-2)
+
+
+class TestLatentOutput:
+    def test_latent_output_skips_decode_and_clip(self):
+        """output_type="latent" returns raw model-space values: with a VAE
+        attached the decode must NOT run, and no [0,1] clipping applies."""
+
+        class DoubleVAE:
+            def encode(self, x):
+                return jnp.asarray(x) * 0.5
+
+            def decode(self, z):
+                return jnp.asarray(z) * 2.0
+
+        sched = S.VPSchedule.create()
+        pipe = DiffusionPipeline(
+            apply_fn=oracle_apply(sched),
+            params={},
+            sampler=DDIMSampler(schedule=sched),
+            sample_size=8,
+            channels=3,
+            vae=DoubleVAE(),
+        )
+        rng = jax.random.PRNGKey(3)
+        lat = pipe(batch_size=2, num_inference_steps=10, rng=rng,
+                   output_type="latent")
+        img = pipe(batch_size=2, num_inference_steps=10, rng=rng)
+        z = np.asarray(lat.images)
+        # the point-mass oracle drives latents to C_VAL (model space);
+        # the image path decodes (x2) then maps [-1,1]->[0,1]
+        assert np.allclose(z, C_VAL, atol=5e-2)
+        assert np.allclose(
+            np.asarray(img.images),
+            np.clip(z * 2.0 / 2.0 + 0.5, 0.0, 1.0),
+            atol=1e-5,
+        )
+
+    def test_latent_output_is_model_space(self):
+        """Pixel pipeline: latent output is x_final itself (C_VAL), while
+        the default output maps [-1,1]->[0,1] (C_VAL/2 + 0.5)."""
+        pipe = make_pipeline(DDIMSampler)
+        rng = jax.random.PRNGKey(5)
+        lat = pipe(batch_size=1, num_inference_steps=20, rng=rng,
+                   output_type="latent")
+        img = pipe(batch_size=1, num_inference_steps=20, rng=rng)
+        assert np.allclose(np.asarray(lat.images), C_VAL, atol=2e-2)
+        assert np.allclose(np.asarray(img.images), C_VAL / 2 + 0.5, atol=1e-2)

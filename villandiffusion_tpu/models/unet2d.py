@@ -21,14 +21,13 @@ that converted torch checkpoints produce identical outputs.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
-
-from villandiffusion_tpu.ops.attention import spatial_attention
 
 
 @dataclasses.dataclass(frozen=True)
@@ -401,7 +400,13 @@ class ResnetBlock(nn.Module):
 
 
 class AttentionBlock(nn.Module):
-    """Spatial self-attention over HxW tokens (diffusers AttentionBlock)."""
+    """Spatial self-attention over HxW tokens (diffusers AttentionBlock).
+
+    The whole block (GN + QKV + attention + out-proj + residual) routes
+    through ops/attention.py::attention_block — ONE fused Pallas kernel on
+    the TPU inference shapes, the XLA composition elsewhere.  Param tree is
+    byte-identical to the unfused modules (group_norm/{scale,bias},
+    query|key|value|proj_attn/{kernel,bias})."""
 
     groups: Optional[int]
     eps: float
@@ -410,17 +415,26 @@ class AttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from villandiffusion_tpu.ops.attention import attention_block
+
         B, H, W, C = x.shape
         n_heads = 1 if self.head_dim is None else max(C // self.head_dim, 1)
-        h = group_norm(x, _auto_groups(C, self.groups), self.eps, "group_norm")
-        h = h.reshape(B, H * W, C)
-        q = nn.Dense(C, param_dtype=jnp.float32, name="query")(h)
-        k = nn.Dense(C, param_dtype=jnp.float32, name="key")(h)
-        v = nn.Dense(C, param_dtype=jnp.float32, name="value")(h)
-        out = spatial_attention(q, k, v, n_heads)
-        out = nn.Dense(C, param_dtype=jnp.float32, name="proj_attn")(out)
-        out = out.reshape(B, H, W, C)
-        return (x + out) / float(self.rescale_output_factor)
+        gamma, beta = _Params((C,), nn.initializers.ones, name="group_norm")()
+        dense = functools.partial(
+            _Params, (C, C), nn.linear.default_kernel_init,
+            names=("kernel", "bias"), bias_shape=(C,),
+        )
+        wq, bq = dense(name="query")()
+        wk, bk = dense(name="key")()
+        wv, bv = dense(name="value")()
+        wo, bo = dense(name="proj_attn")()
+        out = attention_block(
+            x.reshape(B, H * W, C), gamma, beta,
+            wq, bq, wk, bk, wv, bv, wo, bo,
+            _auto_groups(C, self.groups), self.eps, n_heads,
+            float(self.rescale_output_factor),
+        )
+        return out.reshape(B, H, W, C)
 
 
 class Downsample(nn.Module):

@@ -13,6 +13,7 @@ sizes.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -270,6 +271,236 @@ def spatial_attention(
     if _is_tpu():
         return _attention_ad(q, k, v, n_heads)
     return xla_attention(q, k, v, n_heads)
+
+
+# ---------------------------------------------------------------------------
+# Fused attention BLOCK: GroupNorm + QKV projection + softmax-attention +
+# output projection + residual in ONE kernel.  Motivation (v5e per-op
+# roofline, BASELINE.md): at the DDIM-50 headline shape the packed QK/AV
+# kernel is only ~1/3 of attention-block time; the GN, four projection
+# GEMMs, and residual adds around it are bandwidth-bound XLA ops that
+# re-stream the (B, T, C) activation seven times.  The fused kernel streams
+# it once per direction.
+# ---------------------------------------------------------------------------
+
+
+def attention_block_ref(
+    x, gamma, beta, wq, bq, wk, bk, wv, bv, wo, bo,
+    groups: int, eps: float, n_heads: int, rescale: float,
+):
+    """XLA reference composition (also the AD / non-TPU path).  Matmuls run
+    in the promoted dtype of (x, weights), mirroring flax nn.Dense."""
+    B, T, C = x.shape
+    dt = jnp.promote_types(x.dtype, wq.dtype)
+    xf = x.astype(jnp.float32)
+    g = xf.reshape(B, T, groups, C // groups)
+    mean = g.mean(axis=(1, 3), keepdims=True)
+    var = g.var(axis=(1, 3), keepdims=True)
+    h = ((g - mean) * jax.lax.rsqrt(var + eps)).reshape(B, T, C)
+    h = h * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+    h = h.astype(dt)
+    q = h @ wq.astype(dt) + bq.astype(dt)
+    k = h @ wk.astype(dt) + bk.astype(dt)
+    v = h @ wv.astype(dt) + bv.astype(dt)
+    o = spatial_attention(q, k, v, n_heads)
+    y = o.astype(dt) @ wo.astype(dt) + bo.astype(dt)
+    out = (x.astype(jnp.float32) + y.astype(jnp.float32)) / rescale
+    return out.astype(x.dtype)
+
+
+def _block_pack_factor(B: int, T: int, C: int) -> int:
+    """Rows per grid step from a VMEM budget: double-buffered x/out blocks,
+    the weight set, and the f32 logits/qkv temporaries must fit."""
+    G = 8
+    while G > 1:
+        blocks = 2 * 2 * G * T * C * 2              # x + out, double-buffered
+        weights = 2 * (4 * C * C + 8 * C) * 2       # wqkv/wo + biases
+        temps = (
+            G * T * 3 * C * 4                       # qkv f32 accum
+            + 2 * G * T * T * 4                     # logits + exp
+            + 2 * G * T * C * 4                     # h, o f32
+        )
+        # 20 MB bracketed empirically on v5e: G=8 at the CIFAR hot shape
+        # (modeled ~19 MB) runs and beats G=4 (14 MB budget) 1.34 vs 1.38 ms
+        budget = int(os.environ.get("VILLAN_ATTN_BLOCK_VMEM_MB", "20")) * 1024 * 1024
+        if B % G == 0 and blocks + weights + temps <= budget:
+            return G
+        G //= 2
+    return 1
+
+
+@functools.partial(jax.jit, static_argnums=(11, 12, 13, 14))
+def _attention_block_fused(
+    x, gamma, beta, wq, bq, wk, bk, wv, bv, wo, bo,
+    groups: int, eps: float, n_heads: int, rescale: float,
+):
+    """Single-head fused block kernel (T <= 512, the UNet2D hot shapes).
+
+    Per grid step of G batch rows, entirely in VMEM: f32 GroupNorm stats
+    (channel->group reduction via a 0/1 indicator matmul — lane-dim
+    reshapes are fragile in Mosaic, tiny MXU matmuls are not), one merged
+    (C, 3C) QKV GEMM, full-softmax attention, output projection, residual."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, T, C = x.shape
+    cg = C // groups
+    scale = 1.0 / np.sqrt(C // n_heads)
+    G = _block_pack_factor(B, T, C)
+
+    wqkv = jnp.concatenate([wq, wk, wv], axis=1).astype(x.dtype)   # (C, 3C)
+    bqkv = jnp.concatenate([bq, bk, bv]).astype(jnp.float32)       # (3C,)
+    # channel->group indicator (C, groups) and its transpose as separate
+    # operands (in-kernel transposes are fragile in Mosaic); f32 keeps the
+    # stats exact
+    M_np = np.repeat(np.eye(groups, dtype=np.float32), cg, axis=0)
+    M = jnp.asarray(M_np)
+    MT = jnp.asarray(M_np.T.copy())
+
+    def kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+               m_ref, mt_ref, o_ref):
+        xf = x_ref[...].astype(jnp.float32)                        # (G,T,C)
+        sc = jnp.sum(xf, axis=1)                                   # (G,C)
+        sq = jnp.sum(xf * xf, axis=1)                              # (G,C)
+        m = m_ref[...]                                             # (C,groups)
+        n = jnp.float32(T * cg)
+        mean_g = jax.lax.dot(sc, m) / n                            # (G,groups)
+        var_g = jax.lax.dot(sq, m) / n - mean_g * mean_g
+        inv_g = jax.lax.rsqrt(var_g + eps)
+        # broadcast group stats back to channels (groups -> C)
+        mt = mt_ref[...]                                           # (groups,C)
+        mean_c = jax.lax.dot(mean_g, mt)                           # (G,C)
+        inv_c = jax.lax.dot(inv_g, mt)
+        a = inv_c * g_ref[...].astype(jnp.float32)[None, :]        # (G,C)
+        bb = b_ref[...].astype(jnp.float32)[None, :] - mean_c * a
+        h = (xf * a[:, None, :] + bb[:, None, :]).astype(x_ref.dtype)
+        qkv = jax.lax.dot(
+            h.reshape(G * T, C), wqkv_ref[...],
+            preferred_element_type=jnp.float32,
+        ) + bqkv_ref[...][None, :]                                 # (G*T,3C)
+        qkv = qkv.astype(x_ref.dtype)
+        q = qkv[:, :C].reshape(G, T, C)
+        k = qkv[:, C:2 * C].reshape(G, T, C)
+        v = qkv[:, 2 * C:].reshape(G, T, C)
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale                                                  # (G,T,T)
+        mx = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - mx)
+        p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(x_ref.dtype)
+        o = jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(x_ref.dtype)                                      # (G,T,C)
+        y = jax.lax.dot(
+            o.reshape(G * T, C), wo_ref[...],
+            preferred_element_type=jnp.float32,
+        ) + bo_ref[...][None, :]                                   # (G*T,C)
+        out = (xf + y.reshape(G, T, C)) * jnp.float32(1.0 / rescale)
+        o_ref[...] = out.astype(o_ref.dtype)
+
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(B // G,),
+        in_specs=[
+            pl.BlockSpec((G, T, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            full((C,)), full((C,)),
+            full((C, 3 * C)), full((3 * C,)),
+            full((C, C)), full((C,)),
+            full((C, groups)), full((groups, C)),
+        ],
+        out_specs=pl.BlockSpec(
+            (G, T, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, T, C), x.dtype),
+    )(x, gamma.astype(x.dtype), beta.astype(x.dtype), wqkv, bqkv,
+      wo.astype(x.dtype), bo.astype(jnp.float32), M, MT)
+    return out
+
+
+def _block_forward_dispatch(
+    x, gamma, beta, wq, bq, wk, bk, wv, bv, wo, bo,
+    groups, eps, n_heads, rescale,
+):
+    B, T, C = x.shape
+    # fused kernel: single-head small-T inference shapes with everything in
+    # one dtype (the bf16 sampling path); otherwise the XLA composition,
+    # whose matmul promotion semantics match flax nn.Dense
+    if (
+        _is_tpu()
+        and n_heads == 1
+        and T <= 512
+        and x.dtype == wq.dtype
+        and C % groups == 0
+    ):
+        try:
+            return _attention_block_fused(
+                x, gamma, beta, wq, bq, wk, bk, wv, bv, wo, bo,
+                groups, float(eps), n_heads, float(rescale),
+            )
+        except Exception as e:  # pragma: no cover - kernel regressions
+            _warn_fallback_once(e)
+    return attention_block_ref(
+        x, gamma, beta, wq, bq, wk, bk, wv, bv, wo, bo,
+        groups, eps, n_heads, rescale,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14))
+def _attention_block_ad(
+    x, gamma, beta, wq, bq, wk, bk, wv, bv, wo, bo,
+    groups, eps, n_heads, rescale,
+):
+    """Fused forward with an XLA-math backward (same strategy as
+    _attention_ad: pallas_call has no reverse-mode linearization)."""
+    return _block_forward_dispatch(
+        x, gamma, beta, wq, bq, wk, bk, wv, bv, wo, bo,
+        groups, eps, n_heads, rescale,
+    )
+
+
+def _attention_block_ad_fwd(
+    x, gamma, beta, wq, bq, wk, bk, wv, bv, wo, bo,
+    groups, eps, n_heads, rescale,
+):
+    out = _block_forward_dispatch(
+        x, gamma, beta, wq, bq, wk, bk, wv, bv, wo, bo,
+        groups, eps, n_heads, rescale,
+    )
+    return out, (x, gamma, beta, wq, bq, wk, bk, wv, bv, wo, bo)
+
+
+def _attention_block_ad_bwd(groups, eps, n_heads, rescale, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: attention_block_ref(*a, groups, eps, n_heads, rescale),
+        *res,
+    )
+    return vjp(g)
+
+
+_attention_block_ad.defvjp(_attention_block_ad_fwd, _attention_block_ad_bwd)
+
+
+def attention_block(
+    x, gamma, beta, wq, bq, wk, bk, wv, bv, wo, bo,
+    groups: int, eps: float, n_heads: int = 1, rescale: float = 1.0,
+):
+    """Full spatial self-attention block over (B, T, C) tokens:
+    ``(x + proj(attn(qkv(groupnorm(x)))))/rescale`` — fused Pallas kernel on
+    TPU inference shapes, XLA composition elsewhere; AD-safe."""
+    if _is_tpu():
+        return _attention_block_ad(
+            x, gamma, beta, wq, bq, wk, bk, wv, bv, wo, bo,
+            groups, eps, n_heads, rescale,
+        )
+    return attention_block_ref(
+        x, gamma, beta, wq, bq, wk, bk, wv, bv, wo, bo,
+        groups, eps, n_heads, rescale,
+    )
 
 
 @functools.lru_cache(maxsize=1)
