@@ -56,6 +56,8 @@ def main():
         return model.apply(p, xx.astype(jnp.bfloat16), tt).astype(jnp.float32).sum()
 
     print("compiling...", flush=True)
+    with open("/tmp/eval_hlo.txt", "w") as fh:
+        fh.write(f.lower(params, x, t).compile().as_text())
     float(jax.device_get(f(params, x, t)))
     # timed: chain N evals, end with a host fetch (block_until_ready is a
     # no-op over the axon tunnel)
