@@ -71,6 +71,12 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from villandiffusion_tpu.utils.jaxruntime import setup_jax_cache
+
+    # persistent compile cache: the fused-kernel DDIM-50 scan takes minutes
+    # to compile over the tunnel's remote-compile endpoint on a cold cache
+    setup_jax_cache()
+
     from villandiffusion_tpu.models import UNet2D, UNet2DConfig
     from villandiffusion_tpu.samplers import DDIMSampler, DiffusionPipeline
     from villandiffusion_tpu.core import schedules as S
