@@ -1,6 +1,6 @@
 """Headline benchmark: DDIM-50 CIFAR10-32 sampling throughput per chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...anchors}.
 
 The reference publishes no throughput numbers, so ``vs_baseline`` uses a
 roofline-derived anchor for the reference stack — the MOST FAVORABLE number
@@ -29,24 +29,91 @@ chip's own bf16 ceiling at this FLOP count is 197 / 0.566 = 348 imgs/s, so
 no single-chip result can exceed 1.74x such a counterfactual anchor.  The
 measured value below is honest end-to-end throughput (compile excluded,
 device->host u8 fetch included) against the reference's own fp32 code path.
+
+Reliability contract (the driver runs this under a wall-clock timeout):
+- TPU probing is capped at ~3 min and a failed probe does NOT abort the run.
+- A watchdog thread prints the best throughput measured so far and exits 0
+  if the full protocol hasn't finished by VILLAN_BENCH_DEADLINE (default
+  450 s), so a slow cold compile degrades the measurement instead of
+  producing no number at all.
+- Throughput is recorded incrementally: the first JSON-able number exists as
+  soon as one steady-state batch has round-tripped.
 """
 
 import json
+import os
+import sys
+import threading
 import time
 
 REF_IMGS_PER_SEC = 27.7  # reference fp32-V100 roofline ceiling (see module docstring)
 BATCH = 512
 STEPS = 50
+N_REP = 3
+DEADLINE_S = float(os.environ.get("VILLAN_BENCH_DEADLINE", "450"))
+
+_T_START = time.monotonic()
+_RESULT_LOCK = threading.Lock()
+_BEST = {"value": None, "final": False}
 
 
-def _wait_for_tpu(max_wait: float = 1200.0) -> None:
+def _emit(value: float) -> None:
+    print(
+        json.dumps(
+            {
+                "metric": "ddim50_cifar10_sampling_throughput",
+                "value": round(value, 2),
+                "unit": "imgs/sec/chip",
+                "vs_baseline": round(value / REF_IMGS_PER_SEC, 3),
+                "baseline_kind": "fp32-V100-roofline-ceiling",
+                "baseline_imgs_per_sec": REF_IMGS_PER_SEC,
+            }
+        ),
+        flush=True,
+    )
+
+
+def _record(value: float, final: bool = False) -> None:
+    with _RESULT_LOCK:
+        if _BEST["final"]:
+            return
+        _BEST["value"] = value
+        _BEST["final"] = final
+
+
+def _watchdog() -> None:
+    """Emit the best number measured so far if the full protocol overruns
+    the deadline (driver-side timeouts produce rc=124 and NO number — a
+    degraded-but-real measurement beats that every time)."""
+    while True:
+        remaining = DEADLINE_S - (time.monotonic() - _T_START)
+        if remaining <= 0:
+            break
+        time.sleep(min(remaining, 5.0))
+    with _RESULT_LOCK:
+        if _BEST["final"]:
+            return  # main thread already printed
+        value = _BEST["value"]
+        _BEST["final"] = True  # stop the main thread from double-printing
+    if value is not None:
+        _emit(value)
+        sys.stdout.flush()
+        os._exit(0)
+    # No measurement at all (TPU never came up / compile still running):
+    # nothing honest to print.  Exit nonzero before the driver's own timeout
+    # so the failure is cheap and visible.
+    print("bench.py: deadline hit before any measurement", file=sys.stderr)
+    os._exit(3)
+
+
+def _wait_for_tpu(max_wait: float = 180.0) -> bool:
     """The tunneled TPU wedges for minutes after any worker crash/kill: the
     next process hangs forever on its first device op.  Probe with a tiny
     matmul in a timeout-guarded subprocess until it round-trips (see
-    tools/tpu_run.py) so a driver-invoked bench doesn't die on a flaky
-    tunnel."""
+    tools/tpu_run.py).  Capped: a failed probe returns False and the caller
+    proceeds anyway (the probe subprocess can fail for reasons the in-process
+    run does not share)."""
     import subprocess
-    import sys
 
     probe = (
         "import jax, jax.numpy as jnp;"
@@ -55,26 +122,34 @@ def _wait_for_tpu(max_wait: float = 1200.0) -> None:
     )
     t0 = time.monotonic()
     while time.monotonic() - t0 < max_wait:
+        budget = max_wait - (time.monotonic() - t0)
         try:
             out = subprocess.run(
-                [sys.executable, "-c", probe], timeout=120, capture_output=True
+                [sys.executable, "-c", probe],
+                timeout=max(10.0, min(60.0, budget)),
+                capture_output=True,
             )
             if out.returncode == 0 and b"2097152" in out.stdout:
-                return
+                return True
         except subprocess.TimeoutExpired:
             pass
-        time.sleep(60)
+        time.sleep(10)
+    print("bench.py: TPU probe failed; attempting the run anyway", file=sys.stderr)
+    return False
 
 
 def main() -> None:
+    threading.Thread(target=_watchdog, daemon=True).start()
     _wait_for_tpu()
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from villandiffusion_tpu.utils.jaxruntime import setup_jax_cache
 
     # persistent compile cache: the fused-kernel DDIM-50 scan takes minutes
-    # to compile over the tunnel's remote-compile endpoint on a cold cache
+    # to compile over the tunnel's remote-compile endpoint on a cold cache;
+    # every round pre-warms this cache by running bench.py once at round end
     setup_jax_cache()
 
     from villandiffusion_tpu.models import UNet2D, UNet2DConfig
@@ -96,41 +171,34 @@ def main() -> None:
         channels=3,
     )
 
-    # warmup / compile
+    # warmup / compile (excluded from timing)
     pipe(
         batch_size=BATCH, num_inference_steps=STEPS, rng=jax.random.PRNGKey(0),
         output_type="uint8",
     )
     # steady-state throughput: dispatch every batch (async), fetch as each
     # completes — exactly how the measure loop consumes the pipeline (host
-    # PNG IO hidden behind the next batch's denoise scan)
+    # PNG IO hidden behind the next batch's denoise scan).  Record a running
+    # rate after every fetched batch so the watchdog always has the latest
+    # steady-state number.
     t0 = time.perf_counter()
-    n_rep = 4
-    pending = []
-    for i in range(n_rep):
-        pending.append(
-            pipe(
-                batch_size=BATCH, num_inference_steps=STEPS,
-                rng=jax.random.PRNGKey(i), output_type="uint8", host=False,
-            ).images
-        )
-    for p in pending:
-        import numpy as np
-
+    pending = [
+        pipe(
+            batch_size=BATCH, num_inference_steps=STEPS,
+            rng=jax.random.PRNGKey(i), output_type="uint8", host=False,
+        ).images
+        for i in range(N_REP)
+    ]
+    for i, p in enumerate(pending):
         np.asarray(p)
-    dt = (time.perf_counter() - t0) / n_rep
-    imgs_per_sec = BATCH / dt
+        _record(BATCH * (i + 1) / (time.perf_counter() - t0))
 
-    print(
-        json.dumps(
-            {
-                "metric": "ddim50_cifar10_sampling_throughput",
-                "value": round(imgs_per_sec, 2),
-                "unit": "imgs/sec/chip",
-                "vs_baseline": round(imgs_per_sec / REF_IMGS_PER_SEC, 3),
-            }
-        )
-    )
+    imgs_per_sec = BATCH * N_REP / (time.perf_counter() - t0)
+    with _RESULT_LOCK:
+        if _BEST["final"]:
+            return  # watchdog already printed a degraded number
+        _BEST["final"] = True
+    _emit(imgs_per_sec)
 
 
 if __name__ == "__main__":

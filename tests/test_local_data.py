@@ -151,6 +151,36 @@ class TestLayouts:
         imgs, _, _ = LF.load_images_and_captions(base, 16, 3, limit=4)
         assert len(imgs) == 4
 
+    def test_cache_invalidated_on_source_edit(self, tmp_path, monkeypatch):
+        monkeypatch.setattr(LF, "_MMAP_THRESHOLD_BYTES", 1)
+        monkeypatch.setenv("VILLAN_CACHE", str(tmp_path / "cache"))
+        base = str(tmp_path / "ds")
+        np.savez(base + ".npz", images=_imgs(4, seed=0))
+        imgs1, _, _ = LF.load_images_and_captions(base, 16, 3)
+        first = np.asarray(imgs1).copy()
+        # rewrite the source with different pixels (and a different mtime)
+        os.remove(base + ".npz")
+        np.savez(base + ".npz", images=_imgs(4, seed=7))
+        os.utime(base + ".npz", (0, 0))
+        imgs2, _, _ = LF.load_images_and_captions(base, 16, 3)
+        assert not np.array_equal(first, np.asarray(imgs2))
+
+    def test_cache_without_sidecar_is_regenerated(self, tmp_path, monkeypatch):
+        monkeypatch.setattr(LF, "_MMAP_THRESHOLD_BYTES", 1)
+        cache_dir = tmp_path / "cache"
+        monkeypatch.setenv("VILLAN_CACHE", str(cache_dir))
+        base = str(tmp_path / "ds")
+        caps = np.array(["a", "b", "c", "d"])
+        np.savez(base + ".npz", images=_imgs(4), captions=caps)
+        _, caps1, _ = LF.load_images_and_captions(base, 16, 3)
+        # simulate a crash between the npy and sidecar publications
+        sidecars = [f for f in os.listdir(cache_dir) if f.endswith(".json")]
+        assert sidecars, "sidecar must be written for a valid cache"
+        for f in sidecars:
+            os.remove(cache_dir / f)
+        _, caps2, _ = LF.load_images_and_captions(base, 16, 3)
+        assert caps2 == caps1 == list(caps)
+
     def test_missing_raises(self, tmp_path):
         with pytest.raises(FileNotFoundError):
             LF.resolve(str(tmp_path / "nope"))

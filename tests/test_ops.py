@@ -172,6 +172,23 @@ class TestAttentionBlockFused:
             np.asarray(got), np.asarray(ref), atol=2e-4
         )
 
+    def test_pack_factor_scales_with_itemsize(self):
+        # At the CIFAR hot shape (T=256, C=256) bf16 packs G=8 inside the
+        # 20 MB budget; f32 doubles the block/weight bytes so G must drop —
+        # an f32 forward previously overran VMEM at Mosaic compile time.
+        g_bf16 = A._block_pack_factor(512, 256, 256, itemsize=2)
+        g_f32 = A._block_pack_factor(512, 256, 256, itemsize=4)
+        assert g_bf16 == 8
+        assert g_f32 < g_bf16
+
+        def modeled_bytes(G, T, C, itemsize):
+            blocks = 2 * 2 * G * T * C * itemsize
+            weights = 2 * (4 * C * C + 8 * C) * itemsize
+            temps = G * T * 3 * C * 4 + 2 * G * T * T * 4 + 2 * G * T * C * 4
+            return blocks + weights + temps
+
+        assert modeled_bytes(g_f32, 256, 256, 4) <= 20 * 1024 * 1024
+
     def test_grad_flows_through_block_dispatch(self):
         args = self._args(jnp.float32)
         groups, eps = 8, 1e-6

@@ -62,6 +62,19 @@ class TestTriggers:
         assert t.shape == (28, 28, 1)
         assert t.min() == 0.0
 
+    def test_standin_glyph_warns_once(self, monkeypatch):
+        from unittest import mock
+
+        from villandiffusion_tpu.utils.log import Log
+
+        monkeypatch.setattr(P, "_warned_standins", set())
+        with mock.patch.object(Log, "warning") as warn:
+            P.get_trigger("MNIST", channel=3, image_size=32, vmin=-1, vmax=1)
+            assert warn.call_count == 1
+            assert "STAND-IN" in warn.call_args[0][0]
+            P.get_trigger("MNIST", channel=3, image_size=32, vmin=-1, vmax=1)
+            assert warn.call_count == 1  # once per glyph, not per load
+
 
 class TestTargets:
     def _trig(self):

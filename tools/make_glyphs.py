@@ -83,12 +83,25 @@ GLYPHS = {
 
 
 def main() -> None:
+    import hashlib
+    import json
+
     os.makedirs(OUT, exist_ok=True)
+    hashes = {}
     for name, fn in GLYPHS.items():
         arr = fn()
         assert arr.shape == (28, 28) and arr.dtype == np.uint8
-        np.save(os.path.join(OUT, f"{name}.npy"), arr)
+        path = os.path.join(OUT, f"{name}.npy")
+        np.save(path, arr)
+        with open(path, "rb") as f:
+            hashes[f"{name}.npy"] = hashlib.sha1(f.read()).hexdigest()
         print(f"wrote {name}.npy  nonzero={int((arr > 0).sum())}")
+    # Manifest of known STAND-IN hashes: core/poison.py warns once when a
+    # loaded glyph matches (i.e. it is a hand-drawn stand-in, not a real
+    # (Fashion)MNIST export the user dropped in).
+    with open(os.path.join(OUT, "standins.json"), "w") as f:
+        json.dump(hashes, f, indent=1, sort_keys=True)
+    print("wrote standins.json")
 
 
 if __name__ == "__main__":

@@ -167,6 +167,39 @@ def _image_trigger(
 
 _GLYPH_DIR = os.path.join(_STATIC_DIR, "glyphs")
 
+_warned_standins = set()
+
+
+def _warn_if_standin_glyph(path: str) -> None:
+    """One-time warning when a vendored hand-drawn stand-in glyph (see
+    tools/make_glyphs.py, which records their hashes in standins.json) is
+    used instead of a real (Fashion)MNIST export: runs with these triggers
+    are geometry-faithful but not pixel-parity with the reference."""
+    import hashlib
+    import json
+
+    base = os.path.basename(path)
+    if base in _warned_standins:
+        return
+    manifest = os.path.join(_GLYPH_DIR, "standins.json")
+    try:
+        with open(manifest) as f:
+            known = json.load(f)
+        with open(path, "rb") as f:
+            digest = hashlib.sha1(f.read()).hexdigest()
+    except OSError:
+        return
+    _warned_standins.add(base)
+    if known.get(base) == digest:
+        from ..utils.log import Log
+
+        Log.warning(
+            f"glyph {base} is the vendored hand-drawn STAND-IN (not a real "
+            "(Fashion)MNIST export) — trigger geometry matches the reference "
+            "but pixels do not; drop a real 28x28 uint8 export into "
+            f"{_GLYPH_DIR} for pixel-exact parity"
+        )
+
 # (glyph asset, roll dx, roll dy) per MNIST-family trigger
 # (/root/reference/dataset.py:790-816: FashionMNIST[0] rolled (0,2),
 # FashionMNIST[144] rolled (0,4), MNIST[3] and MNIST[6] rolled (10,3)).
@@ -192,6 +225,7 @@ def _load_glyph(name: str, image_size: int, channel: int, vmin: float, vmax: flo
         raise FileNotFoundError(
             f"Glyph asset {path} missing; regenerate with tools/make_glyphs.py"
         )
+    _warn_if_standin_glyph(path)
     src = np.load(path)
     img = Image.fromarray(src, mode="L")
     img = img.convert("L") if channel == 1 else img.convert("RGB")

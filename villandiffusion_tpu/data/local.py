@@ -271,6 +271,30 @@ def _to_uint8(img: Image.Image, image_size: int, channel: int) -> np.ndarray:
     return arr[..., None] if arr.ndim == 2 else arr
 
 
+def _source_fingerprint(base: str) -> str:
+    """mtime+size of the source path, so edits to the dataset invalidate the
+    cache instead of silently serving stale images.  For directories the
+    stat covers entry add/remove; in-place edits of a file inside an
+    otherwise-unchanged dir also bump that file's own mtime, which the dir
+    scan below picks up for the common single-metadata layouts."""
+    parts = []
+    for cand in (base, f"{base}.npz", f"{base}.npy"):
+        try:
+            st = os.stat(cand)
+        except OSError:
+            continue
+        parts.append(f"{st.st_mtime_ns}:{st.st_size}")
+        if os.path.isdir(cand):
+            for sub in ("metadata.jsonl", "train/metadata.jsonl", "state.json"):
+                try:
+                    s2 = os.stat(os.path.join(cand, sub))
+                    parts.append(f"{sub}={s2.st_mtime_ns}:{s2.st_size}")
+                except OSError:
+                    pass
+        break
+    return "|".join(parts) or "absent"
+
+
 def _cache_key(base: str, image_size: int, channel: int, limit) -> str:
     real = os.path.realpath(base)
     h = hashlib.sha1(
@@ -294,19 +318,25 @@ def load_images_and_captions(
     cache_dir = os.environ.get("VILLAN_CACHE", "/tmp/villan_cache")
     cache = os.path.join(cache_dir, _cache_key(base, image_size, channel, limit))
     cap_cache = cache[:-4] + ".json"
-    if os.path.exists(cache):
-        imgs = np.load(cache, mmap_mode="r")
-        captions = labels = None
-        if os.path.exists(cap_cache):
-            with open(cap_cache) as f:
-                side = json.load(f)
+    # A valid cache ALWAYS has its sidecar (written+published first, below);
+    # a bare .npy means a crash landed between the two — regenerate.  The
+    # sidecar records the source's fingerprint at conversion time: if the
+    # source still exists but changed, the cache is stale — regenerate.
+    # (A *deleted* source keeps serving the cache: converting once and
+    # dropping a huge original is a supported pattern.)
+    if os.path.exists(cache) and os.path.exists(cap_cache):
+        with open(cap_cache) as f:
+            side = json.load(f)
+        fp_now = _source_fingerprint(os.path.realpath(base))
+        if fp_now == "absent" or side.get("fingerprint") in (None, fp_now):
+            imgs = np.load(cache, mmap_mode="r")
             captions = side.get("captions")
             labels = (
                 np.asarray(side["labels"], np.float32)
                 if side.get("labels") is not None
                 else None
             )
-        return imgs, captions, labels
+            return imgs, captions, labels
 
     src = resolve(base)
     n = len(src) if limit is None else min(limit, len(src))
@@ -338,16 +368,19 @@ def load_images_and_captions(
         fill(dst)
         dst.flush()
         del dst
+        # Publish the sidecar FIRST: the load path treats npy-without-sidecar
+        # as an interrupted write, so a crash between the two renames costs a
+        # regeneration instead of permanently serving captions=None.
+        side = {
+            "captions": captions,
+            "labels": None if labels is None else labels.tolist(),
+            "fingerprint": _source_fingerprint(os.path.realpath(base)),
+        }
+        ctmp = f"{cap_cache}.tmp.{os.getpid()}"
+        with open(ctmp, "w") as f:
+            json.dump(side, f)
+        os.replace(ctmp, cap_cache)
         os.replace(tmp, cache)
-        if captions is not None or labels is not None:
-            side = {
-                "captions": captions,
-                "labels": None if labels is None else labels.tolist(),
-            }
-            ctmp = f"{cap_cache}.tmp.{os.getpid()}"
-            with open(ctmp, "w") as f:
-                json.dump(side, f)
-            os.replace(ctmp, cap_cache)
         return np.load(cache, mmap_mode="r"), captions, labels
 
     imgs = np.empty((n, image_size, image_size, channel), np.uint8)

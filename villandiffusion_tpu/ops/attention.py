@@ -308,13 +308,18 @@ def attention_block_ref(
     return out.astype(x.dtype)
 
 
-def _block_pack_factor(B: int, T: int, C: int) -> int:
+def _block_pack_factor(B: int, T: int, C: int, itemsize: int = 2) -> int:
     """Rows per grid step from a VMEM budget: double-buffered x/out blocks,
-    the weight set, and the f32 logits/qkv temporaries must fit."""
+    the weight set, and the f32 logits/qkv temporaries must fit.
+
+    ``itemsize`` is the byte width of x/weights (2 for the bf16 sampling
+    path, 4 when the kernel runs on an f32 forward): the block/weight terms
+    scale with it, so an f32 call halves G rather than overrunning VMEM at
+    Mosaic compile time (where the dispatch try/except can't catch it)."""
     G = 8
     while G > 1:
-        blocks = 2 * 2 * G * T * C * 2              # x + out, double-buffered
-        weights = 2 * (4 * C * C + 8 * C) * 2       # wqkv/wo + biases
+        blocks = 2 * 2 * G * T * C * itemsize       # x + out, double-buffered
+        weights = 2 * (4 * C * C + 8 * C) * itemsize  # wqkv/wo + biases
         temps = (
             G * T * 3 * C * 4                       # qkv f32 accum
             + 2 * G * T * T * 4                     # logits + exp
@@ -346,7 +351,7 @@ def _attention_block_fused(
     B, T, C = x.shape
     cg = C // groups
     scale = 1.0 / np.sqrt(C // n_heads)
-    G = _block_pack_factor(B, T, C)
+    G = _block_pack_factor(B, T, C, jnp.dtype(x.dtype).itemsize)
 
     wqkv = jnp.concatenate([wq, wk, wv], axis=1).astype(x.dtype)   # (C, 3C)
     bqkv = jnp.concatenate([bq, bk, bv]).astype(jnp.float32)       # (3C,)

@@ -143,7 +143,9 @@ class MetricsLogger:
             f.write(json.dumps(rec, default=float) + "\n")
         if self._trackers:
             cur = int(step) if step is not None else self._step
-            self._step = cur + 1
+            # monotonic even when explicit-step and auto-step callers
+            # interleave (tracker points would silently collide otherwise)
+            self._step = max(self._step, cur + 1)
             scalars = {
                 k: float(v)
                 for k, v in data.items()
