@@ -176,6 +176,31 @@ def test_vp_r_ladders_match_reference_golden():
         )
 
 
+def test_vp_psi05_blend_matches_reference_golden():
+    """Golden parity for the psi=0.5 VP TrojDiff-blend branch (the last
+    previously-unpinned branch of the paper's core math): R ladders vs the
+    reference's loss.py:get_hs_vp + get_R_coef_gen_vp executed on torch CPU
+    fp32 (tools/extract_golden_psi05.py; reference loss.py:551-588)."""
+    import os
+
+    from villandiffusion_tpu.core import schedules as S
+
+    golden = np.load(
+        os.path.join(os.path.dirname(__file__), "golden", "ref_vp_r_ladders.npz")
+    )
+    sch = S.VPSchedule.create(timesteps=1000)
+    for st in ("sde", "ode"):
+        step, coef = sch.backdoor_step_coef(
+            psi=0.5, solver_type=st, vp_scale=1.0, ve_scale=1.0
+        )
+        np.testing.assert_allclose(
+            np.asarray(step), golden[f"vp_step_psi05_{st}"], atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(coef), golden[f"vp_coef_psi05_{st}"], atol=2e-5
+        )
+
+
 def test_ve_r_ladders_match_reference_golden():
     """Golden parity for the VE (TrojDiff-reduce, psi=0) ladders vs the
     reference's loss.py:get_R_coef_gen_ve_reduce executed directly (torch,
