@@ -162,3 +162,60 @@ class TestConfigGuards:
             cli.main(
                 ["--mode", "sampling", "--ckpt", run_dir, "--poison_rate", "0.9"]
             )
+
+
+class TestInpaintScoringTargets:
+    """Poisoned inpaint/denoise tasks score recovery against the range-mapped
+    BACKDOOR TARGET (the attack measurement), unpoisoned tasks against the
+    clean originals (/root/reference/VillanDiffusion.py:917-918,930-945)."""
+
+    class _StubPipe:
+        """Identity 'recovery': returns a constant known image batch."""
+
+        def __init__(self, out01):
+            self.out01 = out01
+
+        def encode(self, x):
+            return x
+
+        def __call__(self, init, num_inference_steps, start_from, rng):
+            import types
+
+            n = init.shape[0]
+            return types.SimpleNamespace(
+                images=np.repeat(self.out01[None], n, axis=0)
+            )
+
+    def _run(self, task, tmp_path):
+        from villandiffusion_tpu import config as C
+        from villandiffusion_tpu.cli import get_data_loader, measure_inpaint
+
+        cfg = C.TrainingConfig(
+            dataset="FAKE32", trigger="BOX_14", target="CORNER",
+            poison_rate=0.5, task=task, infer_steps=2, infer_start=1,
+            measure_inpaint_sample_n=8, eval_max_batch=8,
+            output_dir=str(tmp_path / task), sched="DDIM-SCHED",
+            clip=True, seed=0,
+        )
+        os.makedirs(cfg.output_dir, exist_ok=True)
+        dsl = get_data_loader(cfg)
+        out01 = np.full((32, 32, 3), 0.25, np.float32)
+        scores = measure_inpaint(cfg, dsl, self._StubPipe(out01))
+        mse = next(v for k, v in scores.items() if k.startswith("MSE"))
+        return cfg, dsl, out01, mse
+
+    def test_poisoned_task_scores_vs_backdoor_target(self, tmp_path):
+        cfg, dsl, out01, mse = self._run("poisoned_denoise", tmp_path)
+        target01 = np.clip(np.asarray(dsl.target) / 2.0 + 0.5, 0.0, 1.0)
+        expect = float(np.mean((out01 - target01) ** 2))
+        assert mse == pytest.approx(expect, rel=1e-5)
+
+    def test_unpoisoned_task_scores_vs_clean_originals(self, tmp_path):
+        cfg, dsl, out01, mse = self._run("unpoisoned_denoise", tmp_path)
+        n = cfg.measure_inpaint_sample_n
+        import numpy as _np
+
+        tail = dsl.get_batch(_np.arange(len(dsl) - n, len(dsl)))
+        orig01 = np.clip(np.asarray(tail["image"]) / 2.0 + 0.5, 0.0, 1.0)
+        expect = float(np.mean((out01[None] - orig01) ** 2))
+        assert mse == pytest.approx(expect, rel=1e-4)

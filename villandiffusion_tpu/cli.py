@@ -270,14 +270,19 @@ def _score_key(config: C.TrainingConfig, metric: str) -> str:
 
 def measure_inpaint(config: C.TrainingConfig, dsl: L.DatasetLoader, pipeline) -> Dict:
     """Inpaint/denoise-recovery measurement: corrupt dataset-tail images,
-    recover through the pipeline, score MSE/SSIM/LPIPS vs the originals
-    (/root/reference/VillanDiffusion.py:875-949)."""
+    recover through the pipeline, score MSE/SSIM/LPIPS — ``unpoisoned_*``
+    tasks against the clean originals (utility), ``poisoned_*`` tasks against
+    the range-mapped BACKDOOR TARGET (the attack measurement: a backdoored
+    model should recover poisoned inputs to the target image)
+    (/root/reference/VillanDiffusion.py:875-949, targets :930-945,
+    comparison :917-918)."""
     from villandiffusion_tpu.eval.lpips import lpips_batch
 
     n = min(config.measure_inpaint_sample_n, len(dsl))
     tail = dsl.get_batch(np.arange(len(dsl) - n, len(dsl)))
     imgs = jnp.asarray(tail[L.IMAGE])
-    if "poisoned" in config.task and "unpoisoned" not in config.task:
+    poisoned_task = "poisoned" in config.task and "unpoisoned" not in config.task
+    if poisoned_task:
         imgs = jnp.asarray(dsl.get_poisoned(np.asarray(imgs)))
     latents = pipeline.encode(imgs)
     rng = jax.random.PRNGKey(config.seed)
@@ -299,15 +304,21 @@ def measure_inpaint(config: C.TrainingConfig, dsl: L.DatasetLoader, pipeline) ->
         )
         recovered.append(out.images)
     recovered = np.concatenate(recovered, axis=0)
-    # originals mapped to [0,1] like the pipeline output
-    if config.sde_type == S.SDE_VE:
-        orig01 = np.clip(np.asarray(imgs), 0.0, 1.0)
+    # comparison images: the backdoor target for poisoned tasks
+    # (VillanDiffusion.py:930-945), the clean originals otherwise; both
+    # mapped to [0,1] like the pipeline output (VE clamp, VP /2+0.5)
+    if poisoned_task:
+        ref_imgs = np.repeat(np.asarray(dsl.target)[None], len(recovered), axis=0)
     else:
-        orig01 = np.clip(np.asarray(imgs) / 2.0 + 0.5, 0.0, 1.0)
+        ref_imgs = np.asarray(tail[L.IMAGE])
+    if config.sde_type == S.SDE_VE:
+        cmp01 = np.clip(ref_imgs, 0.0, 1.0)
+    else:
+        cmp01 = np.clip(ref_imgs / 2.0 + 0.5, 0.0, 1.0)
     scores = {
-        _score_key(config, f"MSE_{config.task}"): Metric.mse_batch(recovered, orig01),
-        _score_key(config, f"SSIM_{config.task}"): Metric.ssim_batch(recovered, orig01),
-        _score_key(config, f"LPIPS_{config.task}"): lpips_batch(recovered, orig01),
+        _score_key(config, f"MSE_{config.task}"): Metric.mse_batch(recovered, cmp01),
+        _score_key(config, f"SSIM_{config.task}"): Metric.ssim_batch(recovered, cmp01),
+        _score_key(config, f"LPIPS_{config.task}"): lpips_batch(recovered, cmp01),
     }
     update_score_file(config, scores)
     Log.info(f"measure_inpaint[{config.task}]: {scores}")
