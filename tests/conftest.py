@@ -6,8 +6,12 @@ mirroring how the driver validates the multi-chip path (SURVEY.md §4).
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax is imported anywhere.  FORCE (not setdefault): the
+# ambient environment carries JAX_PLATFORMS=axon (the tunneled TPU), and the
+# CLIs honor $JAX_PLATFORMS via respect_jax_platforms_env() mid-test — a
+# setdefault would let e2e CLI tests silently switch to the TPU backend,
+# which hangs forever whenever the tunnel is wedged.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -26,8 +26,22 @@ COMMON = [
 ]
 
 
+@pytest.fixture(scope="module", autouse=True)
+def small_fake_dataset():
+    # 64 examples = 2 steps/epoch for every CLI run in this module: the e2e
+    # contract under test (artifacts, naming, resume, measure keys) is
+    # dataset-size independent, and the single-CPU box pays ~1.5 s/step
+    old = os.environ.get("VILLAN_FAKE_N")
+    os.environ["VILLAN_FAKE_N"] = "64"
+    yield
+    if old is None:
+        os.environ.pop("VILLAN_FAKE_N", None)
+    else:
+        os.environ["VILLAN_FAKE_N"] = old
+
+
 @pytest.fixture(scope="module")
-def run_dir(tmp_path_factory):
+def run_dir(tmp_path_factory, small_fake_dataset):
     res = tmp_path_factory.mktemp("runs")
     cli.main(["--mode", "train"] + COMMON + ["--result", str(res), "--overwrite"])
     (out,) = [d for d in os.listdir(res) if d.startswith("res_")]
@@ -69,6 +83,7 @@ class TestSampling:
         assert os.path.exists(os.path.join(run_dir, "sampling.json"))
 
 
+@pytest.mark.slow
 class TestMeasure:
     def test_measure_mode_writes_scores(self, run_dir):
         scores = cli.main(
@@ -109,6 +124,7 @@ class TestResume:
         assert max(epochs) >= 1
 
 
+@pytest.mark.slow
 class TestResumeAfterInterrupt:
     def test_crash_mid_training_resumes_at_right_epoch(self, tmp_path, monkeypatch):
         """A crash during epoch 2 must checkpoint epoch=1 (last completed),
@@ -116,6 +132,10 @@ class TestResumeAfterInterrupt:
         the end and exit without training."""
         import villandiffusion_tpu.data.loader as DL
 
+        # epoch-count semantics don't depend on dataset size: shrink to 64
+        # examples (2 steps/epoch) so the two full CLI runs spend their time
+        # in compiles, not steps
+        monkeypatch.setenv("VILLAN_FAKE_N", "64")
         res = tmp_path / "runs"
         args = ["--mode", "train"] + COMMON + [
             "--epoch", "4", "--save_model_epochs", "10",

@@ -157,6 +157,7 @@ class TestUNetCondition:
 
 
 class TestConditionalTraining:
+    @pytest.mark.slow
     def test_lora_only_updates_and_loss_decreases(self):
         from villandiffusion_tpu.models.vae import AutoencoderKLFlax
         from villandiffusion_tpu.parallel import make_mesh, shard_batch

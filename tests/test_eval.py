@@ -67,6 +67,7 @@ class TestFrechet:
         want = 4.0 * d + (1.0 - 2.0) ** 2 * d
         assert F.frechet_distance(mu1, s1, mu2, s2) == pytest.approx(want, rel=1e-6)
 
+    @pytest.mark.slow
     def test_fid_from_arrays_discriminates(self):
         rng = np.random.default_rng(0)
         base = (rng.random((64, 32, 32, 3)) * 255).astype(np.uint8)
@@ -76,6 +77,7 @@ class TestFrechet:
         f_diff = F.fid_from_arrays(base, diff, batch_size=32)
         assert f_same < f_diff
 
+    @pytest.mark.slow
     def test_fid_directory_surface(self, tmp_path):
         from PIL import Image
 

@@ -84,6 +84,7 @@ class TestLatentDataset:
             assert np.allclose(batch["target"][pois][0], tgt, atol=1e-6)
 
 
+@pytest.mark.slow
 class TestLDMEndToEnd:
     def test_tiny_ldm_train(self, tmp_path):
         from villandiffusion_tpu import cli
@@ -107,6 +108,7 @@ class TestLDMEndToEnd:
         assert img.size[0] > 32  # grid of 2 images with padding
 
 
+@pytest.mark.slow
 class TestLatentCLI:
     """--dataset CELEBA-HQ-LATENT wired through the CLI: pre-encoded latents
     feed training directly (vae_encode=False), pixels ride along for
@@ -178,6 +180,7 @@ class TestLatentCLI:
         assert tail[L.IMAGE].min() >= -1.0 and tail[L.IMAGE].max() <= 1.0
 
 
+@pytest.mark.slow
 class TestBackdoorRemoval:
     def test_rm_backdoor_trains_on_clean_images(self, tmp_path):
         from villandiffusion_tpu import cli

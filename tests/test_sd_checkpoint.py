@@ -155,6 +155,7 @@ def test_build_stack_from_local_checkpoint(sd_dir):
     assert y.shape == z.shape and bool(jnp.isfinite(y).all())
 
 
+@pytest.mark.slow
 def test_train_one_step_from_local_checkpoint(sd_dir, tmp_path):
     from villandiffusion_tpu import cli_conditional as CC
 
