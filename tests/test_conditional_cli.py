@@ -22,7 +22,9 @@ COMMON = [
     "--checkpointing_steps", "4",
     "--num_inference_steps", "3",
     "--max_measure_samples", "4",
-    "--num_fake", "8",
+    # 20 captions -> TRAIN=18 / TEST=2 under test_ratio 0.1, so every
+    # sampling part below can fill its 2-prompt grids
+    "--num_fake", "20",
     "--seed", "0",
 ]
 
@@ -51,23 +53,70 @@ class TestConditionalCLI:
         assert len(flat) > 0
 
     def test_sampling(self, run_dir):
+        """Reference sampling surface (sampling.py:12-96): parts matrix
+        grids with grid-size / prompt-count / trigger-position controls."""
         CC.main(
-            ["--mode", "sampling"] + COMMON + ["--output_dir", run_dir]
+            ["--mode", "sampling"] + COMMON + [
+                "--output_dir", run_dir,
+                "--img_num_per_grid_sample", "2",
+                "--sample_prompts_n", "2",
+                "--trig_start_pos", "-2", "--trig_end_pos", "-1",
+            ]
         )
-        assert os.path.exists(os.path.join(run_dir, "samples", "clean.png"))
-        assert os.path.exists(os.path.join(run_dir, "samples", "backdoor.png"))
+        base = os.path.join(run_dir, "samples")
+        for part in ("in_train", "in_test", "out_full"):
+            for kind in ("clean", "caption_backdoor"):
+                d = os.path.join(base, f"{part}_{kind}_step3_n2")
+                assert sorted(os.listdir(d)) == ["grid_0.png", "grid_1.png"], d
 
+    def test_sampling_clean_backdoor_switch_and_resume(self, run_dir):
+        base = os.path.join(run_dir, "samples")
+        d = os.path.join(base, "in_train_clean_step3_n2")
+        mtimes = {f: os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d)}
+        # 'c' re-runs only clean parts; existing grids are kept (resume)
+        CC.main(
+            ["--mode", "sampling"] + COMMON + [
+                "--output_dir", run_dir, "--clean_backdoor", "c",
+                "--img_num_per_grid_sample", "2", "--sample_prompts_n", "2",
+            ]
+        )
+        for f, t in mtimes.items():
+            assert os.path.getmtime(os.path.join(d, f)) == t
+
+    def test_sampling_ckpt_step(self, run_dir):
+        """--ckpt_step loads lora_<step>/ snapshots; a bad step raises."""
+        CC.main(
+            ["--mode", "sampling"] + COMMON + [
+                "--output_dir", run_dir, "--ckpt_step", "4",
+                "--clean_backdoor", "b",
+                "--img_num_per_grid_sample", "1", "--sample_prompts_n", "1",
+                "--force_regenerate",
+            ]
+        )
+        with pytest.raises(FileNotFoundError, match="ckpt_step"):
+            CC.main(
+                ["--mode", "sampling"] + COMMON + [
+                    "--output_dir", run_dir, "--ckpt_step", "999",
+                ]
+            )
+
+    @pytest.mark.slow
     def test_measure(self, run_dir):
         scores = CC.main(
             ["--mode", "measure"] + COMMON + ["--output_dir", run_dir]
         )
         assert any(k.startswith("MSE_in_") for k in scores)
         assert any(k.startswith("FID_in_full_clean") for k in scores)
+        # OUT-dist half of the measure matrix (reference measure.py:60-65):
+        # prompts from the "other" dataset (FAKE-CAPTION self-maps offline)
+        assert any(k.startswith("MSE_out_train_backdoor") for k in scores)
+        assert any(k.startswith("MSE_out_test_backdoor") for k in scores)
         assert all(np.isfinite(v) for v in scores.values())
         with open(os.path.join(run_dir, "score.json")) as f:
             data = json.load(f)
         assert set(scores).issubset(data)
 
+    @pytest.mark.slow
     def test_measure_resume_cache(self, run_dir):
         d = os.path.join(run_dir, "measure", "in_train_clean")
         mtimes = {f: os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d)}

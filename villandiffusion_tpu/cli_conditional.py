@@ -73,6 +73,25 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--guidance_scale", type=float, default=7.5)
     p.add_argument("--num_inference_steps", type=int, default=25)
     p.add_argument("--max_measure_samples", type=int, default=1000)
+    p.add_argument("--out_dist_dataset", type=str, default=None,
+                   help="caption dataset for the OUT-dist half of the measure "
+                        "matrix; default: the *other* caption dataset "
+                        "(/root/reference/measure.py:60-65), NONE disables")
+    # sampling-mode surface (/root/reference/sampling.py:12-96 via
+    # config.py SamplingConfig :47-77 and operate.py Measuring.sample)
+    p.add_argument("--ckpt_step", type=int, default=-1,
+                   help="load lora_<step>/ instead of the final weights "
+                        "(-1 = final; reference operate.py ckpt_step)")
+    p.add_argument("--clean_backdoor", type=str, default="bc",
+                   choices=["bc", "c", "b"],
+                   help="sample clean ('c'), backdoor ('b'), or both ('bc')")
+    p.add_argument("--img_num_per_grid_sample", type=int, default=9)
+    p.add_argument("--sample_prompts_n", type=int, default=20,
+                   help="prompts per (dist, split) part "
+                        "(MeasuringStatic.DEFAULT_SAMPLE_PROMPTS_N)")
+    p.add_argument("--trig_start_pos", type=int, default=-1)
+    p.add_argument("--trig_end_pos", type=int, default=-1)
+    p.add_argument("--force_regenerate", action="store_true", default=False)
     p.add_argument("--num_fake", type=int, default=32)
     return p
 
@@ -180,12 +199,23 @@ def build_stack(args) -> SDStack:
     )
 
 
-def get_dataset(args):
+def default_out_dist(dataset_name: str):
+    """OUT-dist prompts come from the *other* caption dataset
+    (/root/reference/measure.py:60-65).  FAKE-CAPTION maps to itself with a
+    shifted seed (offline stand-in: distinct prompts, same generator)."""
+    return {
+        CL.POKEMON_CAPTION: CL.CELEBA_HQ_DIALOG,
+        CL.CELEBA_HQ_DIALOG: CL.POKEMON_CAPTION,
+        CL.FAKE_CAPTION: CL.FAKE_CAPTION,
+    }.get(dataset_name)
+
+
+def get_dataset(args, dataset_name=None, seed_shift: int = 0):
     dsl = CL.CaptionDatasetLoader(
-        args.dataset_name,
+        dataset_name or args.dataset_name,
         image_size=args.resolution or 32,
         batch_size=args.train_batch_size,
-        seed=args.seed or 0,
+        seed=(args.seed or 0) + seed_shift,
         num_fake=args.num_fake,
         root=args.dataset_path,
     )
@@ -315,10 +345,20 @@ def make_pipeline(args, stack: SDStack, out_dir: str):
     from villandiffusion_tpu.samplers.conditional import ConditionalPipeline
 
     params = stack.params
-    lora_path = os.path.join(out_dir, "lora_weights.npz")
+    # --ckpt_step selects a training-step snapshot (lora_<step>/ dirs,
+    # reference operate.py:676-682); -1 loads the final weights
+    step = getattr(args, "ckpt_step", -1)
+    lora_dir = out_dir if step is None or step < 0 else os.path.join(
+        out_dir, f"lora_{step}"
+    )
+    lora_path = os.path.join(lora_dir, "lora_weights.npz")
     if os.path.exists(lora_path):
-        params = load_lora(out_dir, params)
+        params = load_lora(lora_dir, params)
         Log.info(f"loaded LoRA weights from {lora_path}")
+    elif step is not None and step >= 0:
+        raise FileNotFoundError(
+            f"--ckpt_step {step}: no checkpoint at {lora_path}"
+        )
     return ConditionalPipeline(
         unet_apply=stack.unet.apply,
         params=params,
@@ -329,6 +369,73 @@ def make_pipeline(args, stack: SDStack, out_dir: str):
         sample_size=stack.latent_size,
         guidance_scale=args.guidance_scale,
     )
+
+
+def run_sampling(args, pipe, dsl, out_dir: str) -> None:
+    """Grid-sampling over the reference's parts matrix
+    (/root/reference/sampling.py:78-96, operate.py Measuring.sample
+    :994-1030, Sampling.get_folder :49-64): for each of
+    (IN, TRAIN), (IN, TEST), (OUT, FULL) and each of clean / caption-backdoor
+    (per --clean_backdoor), sample --img_num_per_grid_sample images per
+    prompt and save one grid PNG per prompt.  Existing grids are kept unless
+    --force_regenerate (the reference's resume contract)."""
+    import random
+
+    import jax
+
+    from villandiffusion_tpu.data.caption_loader import CaptionBackdoor
+    from villandiffusion_tpu.eval.conditional_measure import (
+        MODE_IN_DIST,
+        MODE_OUT_DIST,
+        SPLIT_FULL,
+        SPLIT_TEST,
+        SPLIT_TRAIN,
+        PromptDataset,
+    )
+    from villandiffusion_tpu.utils import samples as IMG
+
+    in_ds = PromptDataset.from_captions(dsl._captions)
+    out_name = args.out_dist_dataset or default_out_dist(args.dataset_name)
+    parts = [(MODE_IN_DIST, SPLIT_TRAIN, in_ds), (MODE_IN_DIST, SPLIT_TEST, in_ds)]
+    if out_name and out_name != "NONE":
+        out_dsl = get_dataset(args, dataset_name=out_name, seed_shift=1)
+        parts.append(
+            (MODE_OUT_DIST, SPLIT_FULL, PromptDataset.from_captions(out_dsl._captions))
+        )
+
+    modes = {"bc": (False, True), "c": (False,), "b": (True,)}[args.clean_backdoor]
+    trig = CaptionBackdoor.get_trigger(args.caption_trigger)
+    rng0 = jax.random.PRNGKey(args.seed or 0)
+    for dist, split, ds in parts:
+        prompts = ds.split(split, args.sample_prompts_n)
+        for backdoor in modes:
+            kind = "caption_backdoor" if backdoor else "clean"
+            # folder naming mirrors Sampling.get_folder (operate.py:49-64)
+            part_dir = os.path.join(
+                out_dir, "samples",
+                f"{dist.lower()}_{split.lower()}_{kind}"
+                f"_step{args.num_inference_steps}_n{args.img_num_per_grid_sample}",
+            )
+            os.makedirs(part_dir, exist_ok=True)
+            prng = random.Random(args.seed or 0)
+            for i, prompt in enumerate(prompts):
+                path = os.path.join(part_dir, f"grid_{i}.png")
+                if os.path.exists(path) and not args.force_regenerate:
+                    continue
+                text = (
+                    CaptionBackdoor.insert_trigger(
+                        prompt, trig, args.trig_start_pos, args.trig_end_pos, prng
+                    )
+                    if backdoor
+                    else prompt
+                )
+                out = pipe(
+                    [text] * args.img_num_per_grid_sample,
+                    num_inference_steps=args.num_inference_steps,
+                    rng=jax.random.fold_in(rng0, hash((dist, split, kind, i)) % (1 << 31)),
+                )
+                IMG.save_grid(out.images, path)
+            Log.info(f"sampling[{dist}/{split}/{kind}]: {len(prompts)} grids -> {part_dir}")
 
 
 def _setup_runtime():
@@ -361,20 +468,9 @@ def main(argv: Optional[List[str]] = None) -> Dict:
             return scores
         train(args, stack, out_dir)
     elif args.mode == "sampling":
-        from villandiffusion_tpu.eval.conditional_measure import PromptDataset
-        from villandiffusion_tpu.utils import samples as IMG
-
         pipe = make_pipeline(args, stack, out_dir)
         dsl = get_dataset(args)
-        prompts = PromptDataset.from_captions(dsl._captions).split("TEST", 4)
-        clean = pipe(prompts, num_inference_steps=args.num_inference_steps)
-        IMG.save_grid(clean.images, os.path.join(out_dir, "samples", "clean.png"))
-        trig = PromptDataset.from_captions(dsl._captions).with_trigger(
-            "TEST", args.caption_trigger, 4
-        )
-        bd = pipe(trig, num_inference_steps=args.num_inference_steps)
-        IMG.save_grid(bd.images, os.path.join(out_dir, "samples", "backdoor.png"))
-        Log.info(f"saved sample grids under {out_dir}/samples")
+        run_sampling(args, pipe, dsl, out_dir)
     elif args.mode == "measure":
         from villandiffusion_tpu.eval.conditional_measure import (
             Measuring,
@@ -393,8 +489,16 @@ def main(argv: Optional[List[str]] = None) -> Dict:
             num_inference_steps=args.num_inference_steps,
             sample_limit=args.max_measure_samples,
         )
+        out_name = args.out_dist_dataset or default_out_dist(args.dataset_name)
+        out_dist = None
+        if out_name and out_name != "NONE":
+            # seed_shift distinguishes the FAKE-CAPTION self-mapping; real
+            # datasets ignore the seed for caption content
+            out_dsl = get_dataset(args, dataset_name=out_name, seed_shift=1)
+            out_dist = PromptDataset.from_captions(out_dsl._captions)
         scores = measuring.measure(
             in_dist=PromptDataset.from_captions(dsl._captions),
+            out_dist=out_dist,
             dataset_images=dsl.images,
         )
     elif args.mode == "caption_sim":

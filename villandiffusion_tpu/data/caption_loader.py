@@ -216,7 +216,12 @@ class CaptionDatasetLoader:
         self._seed = seed
         if name == FAKE_CAPTION:
             self._images = _synthetic_images(num_fake, image_size, channel, seed)
-            self._captions = [_fake_caption(i) for i in range(num_fake)]
+            # seed offsets the caption stream so two FAKE-CAPTION loaders with
+            # different seeds yield disjoint prompts (the offline stand-in for
+            # the reference's OUT-dist "other dataset", measure.py:60-65)
+            self._captions = [
+                _fake_caption(i + seed * num_fake) for i in range(num_fake)
+            ]
         elif name in (POKEMON_CAPTION, CELEBA_HQ_DIALOG, LAION_COCO):
             self._images, self._captions = _load_caption_dataset(
                 name, root, image_size, channel
