@@ -70,13 +70,20 @@ def _convert_transformer2d(tree, sd, tp, fp, depth: int = 1):
 
 
 def torch_state_dict_to_flax_condition(
-    sd: Dict[str, np.ndarray], config: UNet2DConditionConfig
+    sd: Dict[str, np.ndarray], config: UNet2DConditionConfig,
+    strict: bool = False,
 ) -> Dict:
     """Build the UNet2DCondition 'params' tree from a diffusers state_dict.
 
     With config.lora_rank > 0, merge the result over a fresh init via
-    ``merge_base_params`` so the adapters exist (zero-initialized up)."""
-    sd = {k: np.asarray(v, dtype=np.float32) for k, v in sd.items()}
+    ``merge_base_params`` so the adapters exist (zero-initialized up).
+    ``strict=True`` asserts every checkpoint tensor was mapped (same
+    contract as models/convert.py)."""
+    from villandiffusion_tpu.models.convert import _TrackedDict
+
+    sd = _TrackedDict(
+        {k: np.asarray(v, dtype=np.float32) for k, v in sd.items()}
+    )
     tree: Dict = {}
     _convert_linear(tree, sd, "time_embedding.linear_1", ("time_dense_1",))
     _convert_linear(tree, sd, "time_embedding.linear_2", ("time_dense_2",))
@@ -121,6 +128,13 @@ def torch_state_dict_to_flax_condition(
 
     _convert_norm(tree, sd, "conv_norm_out", ("norm_out",))
     _convert_conv(tree, sd, "conv_out", ("conv_out",))
+    if strict:
+        leftover = set(sd.keys()) - sd.consumed
+        if leftover:
+            raise ValueError(
+                f"{len(leftover)} checkpoint tensors not mapped: "
+                f"{sorted(leftover)[:8]}..."
+            )
     return {"params": tree}
 
 
@@ -203,7 +217,7 @@ def load_condition_unet_checkpoint(
         }
     else:
         raise FileNotFoundError(f"No model weights found under {ckpt_dir}")
-    converted = torch_state_dict_to_flax_condition(sd, config)
+    converted = torch_state_dict_to_flax_condition(sd, config, strict=True)
     if lora_rank > 0:
         model = UNet2DCondition(config)
         fresh = jax.tree.map(
