@@ -423,7 +423,7 @@ def train_loop(
             save_model_dir(ep_dir, bundle.model.config, state.params)
 
     def do_sampling(tag) -> None:
-        pipe = bundle.make_pipeline(params=state.params, clip=config.clip)
+        pipe = bundle.make_pipeline(params=state.params, clip=config.clip, mesh=mesh)
         try:
             sampling(config, tag, pipe, dsl)
         except NotImplementedError as e:
@@ -509,19 +509,26 @@ def main(argv=None) -> Dict:
     dsl = get_data_loader(config)
     scores: Dict = {}
 
+    # sampling/measure fan out over every chip (the reference's DataParallel
+    # inference, VillanDiffusion.py:440): same mesh the trainer uses
+    mesh = make_mesh()
     if config.mode in (C.MODE_TRAIN, C.MODE_RESUME, C.MODE_TRAIN_MEASURE):
         bundle = build_bundle(config, dsl, for_eval=False)
         train_loop(config, dsl, bundle)
         if config.mode == C.MODE_TRAIN_MEASURE:
-            pipe = bundle.make_pipeline(clip=config.clip)
+            pipe = bundle.make_pipeline(clip=config.clip, mesh=mesh)
             scores = measure(config, dsl, pipe)
     elif config.mode == C.MODE_SAMPLING:
         bundle = build_bundle(config, dsl, for_eval=True)
-        pipe = bundle.make_pipeline(clip=config.clip, ddim_eta=config.ddim_eta)
+        pipe = bundle.make_pipeline(
+            clip=config.clip, ddim_eta=config.ddim_eta, mesh=mesh
+        )
         sampling(config, "sampling", pipe, dsl)
     elif config.mode == C.MODE_MEASURE:
         bundle = build_bundle(config, dsl, for_eval=True)
-        pipe = bundle.make_pipeline(clip=config.clip, ddim_eta=config.ddim_eta)
+        pipe = bundle.make_pipeline(
+            clip=config.clip, ddim_eta=config.ddim_eta, mesh=mesh
+        )
         scores = measure(config, dsl, pipe)
     else:
         raise NotImplementedError(config.mode)

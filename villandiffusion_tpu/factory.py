@@ -89,6 +89,7 @@ class ModelBundle:
         clip: Optional[bool] = None,
         ddim_eta: Optional[float] = None,
         compute_dtype=None,
+        mesh=None,
     ) -> DiffusionPipeline:
         import jax.numpy as jnp
 
@@ -130,6 +131,7 @@ class ModelBundle:
             channels=self.model.config.in_channels,
             vae=self.vae,
             output_map=output_map,
+            mesh=mesh,
         )
 
 
