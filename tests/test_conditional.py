@@ -221,6 +221,74 @@ class TestConditionalTraining:
         assert np.mean(losses[-2:]) < np.mean(losses[:2])
 
 
+class TestSplitTermStep:
+    def test_split_step_matches_monolithic(self):
+        """make_split_step (one jitted graph per loss term + grad-accum
+        apply) must reproduce make_step's updates: grads are linear in the
+        loss sum and the per-term rng streams are identical."""
+        from villandiffusion_tpu.models.vae import AutoencoderKLFlax
+        from villandiffusion_tpu.parallel import make_mesh
+        from villandiffusion_tpu.train import conditional as CT
+
+        mesh = make_mesh(n_devices=1)
+        model = UNet2DCondition(UNet2DConditionConfig.tiny(lora_rank=2))
+        params = model.init_params(jax.random.PRNGKey(0))
+        text = make_tiny_text_encoder(hidden_size=32)
+        vae = AutoencoderKLFlax(
+            block_out_channels=(8, 16), layers_per_block=1, latent_channels=4
+        )
+        vae_params = jax.jit(vae.init)(
+            jax.random.PRNGKey(1), jnp.zeros((1, 16, 16, 3))
+        )
+
+        def vae_encode(x, rng):
+            return vae.apply(vae_params, x, method=vae.encode) * CT.SD_SCALING
+
+        loss = CT.CondBackdoorLoss(
+            schedule=CT.sd_schedule(100), vae_encode=vae_encode,
+            text_encode=text.encode,
+        )
+        # 3 terms: backdoor + prior (the canonical SD-512 pair) + an extra
+        # weighted image term so the accumulation loop runs more than once
+        terms = CT.image_backdoor_terms(prior_loss_weight=0.7)
+        trainer = CT.ConditionalTrainer(
+            unet_apply=model.apply, loss=loss, terms=terms,
+            optimizer=CT.make_lora_optimizer(
+                params, 1e-2, warmup_steps=1, total_steps=50
+            ),
+            mesh=mesh,
+        )
+        tok = CL.HashTokenizer(vocab_size=1024)
+        collate = CL.collate_fn_backdoor_gen(tok)
+        dsl = CL.CaptionDatasetLoader(
+            CL.FAKE_CAPTION, image_size=16, num_fake=8
+        ).set_poison(
+            caption_trigger="TRIGGER_SKS", target="CORNER", poison_rate=0.5
+        )
+        raw = collate(next(iter(dsl.get_dataloader(batch_size=4))))
+        batch = {
+            k: jnp.asarray(raw[k])
+            for k in (CL.RAW, CL.IMAGE, CL.POISON_IMAGE, CL.CAPTION,
+                      CL.RAW_CAPTION)
+        }
+        rng = jax.random.PRNGKey(7)
+
+        mono_state = trainer.init_state(params)
+        split_state = trainer.init_state(params)
+        mono, split = trainer.make_step(), trainer.make_split_step()
+        for _ in range(3):
+            mono_state, ml = mono(mono_state, batch, rng)
+            split_state, sl = split(split_state, batch, rng)
+            assert float(ml) == pytest.approx(float(sl), rel=1e-5)
+        for a, b in zip(
+            jax.tree.leaves(mono_state.params),
+            jax.tree.leaves(split_state.params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7
+            )
+
+
 def test_caption_augment_collate_and_terms():
     from villandiffusion_tpu.data import caption_loader as CL
     from villandiffusion_tpu.train import conditional as CT

@@ -37,10 +37,13 @@ from villandiffusion_tpu.train.conditional import (
 )
 
 RES = 512
-BATCHES = [1, 4]
+BATCHES = [int(b) for b in os.environ.get("VILLAN_SD_BATCHES", "1,4").split(",")]
 
 
 def main():
+    from villandiffusion_tpu.utils.jaxruntime import setup_jax_cache
+
+    setup_jax_cache()
     cfg = UNet2DConditionConfig.sd_v1(lora_rank=4)
     unet = UNet2DCondition(cfg)
     params = unet.init_params(jax.random.PRNGKey(0))
@@ -64,10 +67,13 @@ def main():
         ).astype(jnp.float32)
 
     # The axon tunnel's remote_compile endpoint rejects payloads past a size
-    # limit (HTTP 413); the full 2-term step's HLO (4 UNet applies with
-    # grad) exceeds it, so fall back to the single-term (clean) loss and
-    # scale the report: per-term cost is what we are measuring.
+    # limit (HTTP 413): the MONOLITHIC 2-term step's HLO (4 UNet applies
+    # with grad) does not compile there.  make_split_step jits one term per
+    # micro-step (2 UNet applies; the canonical backdoor+prior pair shares
+    # ONE compiled graph) + a grad-accum optimizer apply — exact, and the
+    # product path for the canonical config (--split_loss_terms).
     n_terms = int(os.environ.get("VILLAN_SD_TERMS", "2"))
+    split = os.environ.get("VILLAN_SD_SPLIT", "1" if n_terms > 1 else "0") == "1"
     from villandiffusion_tpu.train.conditional import clean_terms
 
     terms = caption_backdoor_terms(1.0) if n_terms == 2 else clean_terms()
@@ -82,8 +88,8 @@ def main():
         mesh=make_mesh(),
     )
     state = trainer.init_state(params)
-    step_fn = trainer.make_step()
-    print(f"terms: {len(terms)}", flush=True)
+    step_fn = trainer.make_split_step() if split else trainer.make_step()
+    print(f"terms: {len(terms)} split: {split}", flush=True)
 
     results = {}
     rng = jax.random.PRNGKey(0)
@@ -116,11 +122,12 @@ def main():
         float(l)
         e2e = (time.perf_counter() - t0) / n
 
-        results[f"sd512_lora_train_b{B}_ms"] = round(pure * 1000, 1)
-        results[f"sd512_lora_train_b{B}_e2e_ms"] = round(e2e * 1000, 1)
+        tag = f"{len(terms)}term" + ("_split" if split else "")
+        results[f"sd512_lora_train_{tag}_b{B}_ms"] = round(pure * 1000, 1)
+        results[f"sd512_lora_train_{tag}_b{B}_e2e_ms"] = round(e2e * 1000, 1)
         print(
-            f"| SD-512 LoRA-r4 train | batch {B} | {pure*1000:.0f} ms/step "
-            f"({B/pure:.2f} imgs/s) | e2e {e2e*1000:.0f} ms |",
+            f"| SD-512 LoRA-r4 train ({tag}) | batch {B} | {pure*1000:.0f} "
+            f"ms/step ({B/pure:.2f} imgs/s) | e2e {e2e*1000:.0f} ms |",
             flush=True,
         )
 

@@ -92,6 +92,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--trig_start_pos", type=int, default=-1)
     p.add_argument("--trig_end_pos", type=int, default=-1)
     p.add_argument("--force_regenerate", action="store_true", default=False)
+    p.add_argument("--split_loss_terms", action="store_true", default=False,
+                   help="jit one loss term per micro-step and combine via "
+                        "gradient accumulation (exact; keeps each compiled "
+                        "graph at 2 UNet applies instead of 2*n_terms — "
+                        "required for SD-512 two-term training on compile-"
+                        "constrained paths, and halves peak activation "
+                        "memory)")
     p.add_argument("--num_fake", type=int, default=32)
     return p
 
@@ -303,7 +310,11 @@ def train(args, stack: SDStack, out_dir: str) -> None:
                 state, params=load_lora(ckpt, state.params)
             )
             Log.info(f"resumed LoRA weights from {ckpt}")
-    step_fn = trainer.make_step()
+    step_fn = (
+        trainer.make_split_step()
+        if args.split_loss_terms and len(terms) > 1
+        else trainer.make_step()
+    )
     logger = MetricsLogger(
         out_dir, project=getattr(args, "project", None), config=vars(args)
     )

@@ -256,3 +256,98 @@ class ConditionalTrainer:
             out_shardings=(repl, repl),
             donate_argnums=(0,),
         )
+
+    def make_split_step(self):
+        """One jitted graph per loss TERM plus a small jitted optimizer
+        apply, combined by gradient accumulation.
+
+        The monolithic step traces fwd+bwd for every term into one graph —
+        for the reference's canonical SD-512 config (backdoor + prior
+        terms, /root/reference/README.md:112,132) that is 4 full SD-UNet
+        applies in a single XLA program, which constrained compile paths
+        reject (this box's tunnel remote-compile 413s on it) and which
+        costs peak activation memory for both terms at once.  Splitting is
+        exact, not an approximation: d/dp Σ w_k L_k = Σ w_k dL_k/dp, and
+        each micro-step uses the same per-term fold_in(rng, k) stream as
+        the monolithic step, so losses and updates match to float
+        associativity (asserted in tests/test_conditional.py).
+
+        Returns a callable with make_step's exact signature
+        ``(state, batch, rng) -> (state, loss)``.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(self.mesh, P())
+
+        # structurally identical terms share ONE compiled graph: the term
+        # index k, weight, and tensors are runtime data, so the canonical
+        # two-term config compiles a single micro-step graph, not two
+        canon_plain = LossTerm("x", "ids", 1.0)
+        canon_pois = LossTerm("x", "ids", 1.0, poison_key="pois")
+
+        def accum(term):
+            def f(params, mini, weight, k, step, rng, acc_loss, acc_grads):
+                r = jax.random.fold_in(jax.random.fold_in(rng, step), k)
+
+                def loss_fn(p):
+                    return weight * self.loss.term_loss(
+                        self.unet_apply, p, mini, term, r
+                    )
+
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                return acc_loss + loss, jax.tree.map(jnp.add, acc_grads, grads)
+
+            return jax.jit(
+                f,
+                in_shardings=(repl,) * 8,
+                out_shardings=(repl, repl),
+                donate_argnums=(7,),
+            )
+
+        plain_jit, pois_jit = accum(canon_plain), accum(canon_pois)
+
+        def zeros_fn(params):
+            return jnp.zeros((), jnp.float32), jax.tree.map(
+                jnp.zeros_like, params
+            )
+
+        zeros_jit = jax.jit(
+            zeros_fn, in_shardings=(repl,), out_shardings=(repl, repl)
+        )
+
+        def apply_fn(state: TrainState, loss, grads):
+            updates, opt_state = self.optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            params = optax.apply_updates(state.params, updates)
+            return (
+                TrainState(step=state.step + 1, params=params, opt_state=opt_state),
+                loss,
+            )
+
+        apply_jit = jax.jit(
+            apply_fn,
+            in_shardings=(repl, repl, repl),
+            out_shardings=(repl, repl),
+            donate_argnums=(0, 2),
+        )
+
+        def step(state: TrainState, batch, rng):
+            loss, grads = zeros_jit(state.params)
+            for k, term in enumerate(self.terms):
+                mini = {
+                    "x": batch[term.latent_key],
+                    "ids": batch[term.caption_key],
+                }
+                if term.poison_key is not None:
+                    mini["pois"] = batch[term.poison_key]
+                    fn = pois_jit
+                else:
+                    fn = plain_jit
+                loss, grads = fn(
+                    state.params, mini, jnp.float32(term.weight),
+                    jnp.int32(k), state.step, rng, loss, grads,
+                )
+            return apply_jit(state, loss, grads)
+
+        return step
