@@ -56,6 +56,37 @@ class TestShardedSampling:
         assert len(shard.movie) == 1 and shard.movie[0].shape == (6, 16, 16, 3)
         np.testing.assert_allclose(shard.movie[0], ref.movie[0], atol=2e-5)
 
+    def test_conditional_pipeline_sharded_equals_unsharded(self):
+        """SD-style CFG pipeline: prompts (and their embeddings) are padded
+        to a shardable batch and results match the unsharded run exactly —
+        including the init=None path's noise draw."""
+        from villandiffusion_tpu import cli_conditional as CC
+        from villandiffusion_tpu.samplers.conditional import ConditionalPipeline
+
+        args = CC.build_parser().parse_args([
+            "--mode", "sampling", "--pretrained_model_name_or_path", "TINY",
+            "--dataset_name", "FAKE-CAPTION", "--resolution", "16",
+            "--caption_trigger", "TRIGGER_SKS", "--target", "CORNER",
+            "--lora_r", "2", "--num_fake", "4", "--seed", "0",
+        ])
+        stack = CC.build_stack(args)
+
+        def pipe_for(mesh):
+            return ConditionalPipeline(
+                unet_apply=stack.unet.apply, params=stack.params,
+                vae=stack.vae, text_encode=stack.text.encode,
+                tokenizer=stack.tokenizer, schedule=stack.schedule,
+                sample_size=stack.latent_size,
+                latent_channels=stack.unet.config.in_channels, mesh=mesh,
+            )
+
+        prompts = ["a cat", "a dog", "a bird"]  # 3 prompts on an 8-mesh
+        rng = jax.random.PRNGKey(11)
+        ref = pipe_for(None)(prompts, num_inference_steps=3, rng=rng)
+        shard = pipe_for(make_mesh())(prompts, num_inference_steps=3, rng=rng)
+        assert shard.images.shape == ref.images.shape
+        np.testing.assert_allclose(shard.images, ref.images, atol=2e-5)
+
     def test_uint8_pipelined_fetch_path(self, bundle):
         """host=False + uint8 output (the measure loop's exact call shape)."""
         init = jax.random.normal(jax.random.PRNGKey(7), (8, 16, 16, 3))

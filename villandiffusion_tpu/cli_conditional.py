@@ -370,9 +370,12 @@ def make_pipeline(args, stack: SDStack, out_dir: str):
         raise FileNotFoundError(
             f"--ckpt_step {step}: no checkpoint at {lora_path}"
         )
+    from villandiffusion_tpu.parallel import make_mesh
+
     return ConditionalPipeline(
         unet_apply=stack.unet.apply,
         params=params,
+        mesh=make_mesh(),
         vae=stack.vae,
         text_encode=stack.text.encode,
         tokenizer=stack.tokenizer,

@@ -37,6 +37,7 @@ class ConditionalPipeline:
     latent_channels: int = 4
     guidance_scale: float = 7.5
     sampler: object = None        # defaults to DPM-Solver++ O2
+    mesh: object = None           # jax.sharding.Mesh: shard prompts on data
 
     def __post_init__(self):
         if self.schedule is None:
@@ -65,7 +66,12 @@ class ConditionalPipeline:
             channels=self.latent_channels,
             vae=self.vae,
             output_map="vp",
+            mesh=self.mesh,
         )
+        # the packed params (weights + per-call prompt embeddings) change
+        # every call; skip the inner's one-shot replication and let GSPMD
+        # place them (the embeddings ride with the batch-sharded latents)
+        self._inner._params_placed = True
 
     def encode(self, x):
         """Pixel -> scaled latent space (trigger shifting for backdoor eval)."""
@@ -90,17 +96,48 @@ class ConditionalPipeline:
         if isinstance(prompt, str):
             prompt = [prompt]
         g = guidance_scale if guidance_scale is not None else self.guidance_scale
+        n_req = len(prompt)
+        init = latents if latents is not None else init
+        if self._inner.mesh is not None:
+            # pad PROMPTS (and the init) up to a mesh-shardable batch here,
+            # where the embeddings can be padded consistently with the
+            # latents; the inner pipeline then shards without padding
+            pad = (-n_req) % self._inner.mesh.size
+            if pad:
+                prompt = list(prompt) + [
+                    prompt[i % n_req] for i in range(pad)
+                ]
+                if init is None:
+                    # draw the noise at the REQUESTED size with the inner's
+                    # exact rng protocol, so padded results equal unsharded
+                    rng = rng if rng is not None else jax.random.PRNGKey(0)
+                    rng, sub = jax.random.split(rng)
+                    init = jax.random.normal(
+                        sub,
+                        (n_req, self.sample_size, self.sample_size,
+                         self.latent_channels),
+                    )
+                init = jnp.asarray(init)[jnp.arange(n_req + pad) % n_req]
         emb_c = self.embed_prompts(prompt)
         emb_u = self.embed_prompts([""] * len(prompt))
         self._inner.params = (
             self.params, emb_c, emb_u, jnp.float32(g)
         )
-        return self._inner(
+        out = self._inner(
             batch_size=len(prompt),
             num_inference_steps=num_inference_steps,
-            init=latents if latents is not None else init,
+            init=init,
             rng=rng,
             save_every_step=save_every_step,
             host=host,
             output_type=output_type,
         )
+        if len(prompt) != n_req:
+            out = SamplerOutput(
+                images=out.images[:n_req],
+                movie=(
+                    [m[:n_req] for m in out.movie]
+                    if out.movie is not None else None
+                ),
+            )
+        return out
