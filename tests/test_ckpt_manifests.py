@@ -55,9 +55,13 @@ def _assert_tree_match(got, want, what):
 
 
 class TestUNet2DManifests:
+    # the flagship layout stays in the fast gate; the big 256px layouts
+    # (100M+ zero tensors each) run in the slow tier
     @pytest.mark.parametrize(
-        "name", ["ddpm_cifar10_32_unet", "ddpm_ema_celebahq_256_unet",
-                 "ldm_celebahq_256_unet"]
+        "name",
+        ["ddpm_cifar10_32_unet",
+         pytest.param("ddpm_ema_celebahq_256_unet", marks=pytest.mark.slow),
+         pytest.param("ldm_celebahq_256_unet", marks=pytest.mark.slow)],
     )
     def test_full_consumption_and_tree_parity(self, name):
         from villandiffusion_tpu.models.convert import (
@@ -78,6 +82,7 @@ class TestUNet2DManifests:
         _assert_tree_match(params, want, name)
 
 
+@pytest.mark.slow
 class TestSDv14UNetManifest:
     def test_full_consumption_and_tree_parity(self):
         from villandiffusion_tpu.models.convert_condition import (

@@ -222,6 +222,7 @@ class TestConditionalTraining:
 
 
 class TestSplitTermStep:
+    @pytest.mark.slow
     def test_split_step_matches_monolithic(self):
         """make_split_step (one jitted graph per loss term + grad-accum
         apply) must reproduce make_step's updates: grads are linear in the

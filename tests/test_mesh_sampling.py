@@ -43,6 +43,7 @@ class TestShardedSampling:
         assert shard.images.shape == (5, 16, 16, 3)
         np.testing.assert_allclose(shard.images, ref.images, atol=2e-5)
 
+    @pytest.mark.slow
     def test_movie_and_start_from_survive_sharding(self, bundle):
         """The inpaint contract (start_from + first-frame movie) through the
         sharded path."""
@@ -56,6 +57,7 @@ class TestShardedSampling:
         assert len(shard.movie) == 1 and shard.movie[0].shape == (6, 16, 16, 3)
         np.testing.assert_allclose(shard.movie[0], ref.movie[0], atol=2e-5)
 
+    @pytest.mark.slow
     def test_conditional_pipeline_sharded_equals_unsharded(self):
         """SD-style CFG pipeline: prompts (and their embeddings) are padded
         to a shardable batch and results match the unsharded run exactly —
