@@ -290,6 +290,23 @@ class TestSplitTermStep:
             )
 
 
+def test_published_caption_similarity_table():
+    """The reference's published constants (measure.py:14-45) are vendored
+    verbatim and keyed by (in-dist dataset, trigger)."""
+    from villandiffusion_tpu.eval.conditional_measure import (
+        CAPTION_SIMILARITY,
+        published_caption_similarity,
+    )
+
+    assert published_caption_similarity(
+        "POKEMON-CAPTION", "TRIGGER_LATTE_COFFEE"
+    ) == 0.784
+    assert published_caption_similarity("CELEBA-HQ-DIALOG", "TRIGGER_SKS") == 0.922
+    assert published_caption_similarity("FAKE-CAPTION", "TRIGGER_SKS") is None
+    for ds, table in CAPTION_SIMILARITY.items():
+        assert len(table) == 13 and table["TRIGGER_NONE"] == 1.0, ds
+
+
 def test_caption_augment_collate_and_terms():
     from villandiffusion_tpu.data import caption_loader as CL
     from villandiffusion_tpu.train import conditional as CT

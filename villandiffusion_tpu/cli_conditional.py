@@ -515,6 +515,23 @@ def main(argv: Optional[List[str]] = None) -> Dict:
             out_dist=out_dist,
             dataset_images=dsl.images,
         )
+        # the reference records its published similarity constant for the
+        # (in-dist dataset, trigger) pair on the run config (measure.py:67)
+        from villandiffusion_tpu.eval.conditional_measure import (
+            published_caption_similarity,
+        )
+
+        pub = published_caption_similarity(
+            args.dataset_name, args.caption_trigger
+        )
+        if pub is not None:
+            scores["caption_similarity"] = pub
+            path = os.path.join(out_dir, "score.json")
+            with open(path) as f:
+                merged = json.load(f)
+            merged["caption_similarity"] = pub
+            with open(path, "w") as f:
+                json.dump(merged, f, indent=2, sort_keys=True)
     elif args.mode == "caption_sim":
         from villandiffusion_tpu.eval.conditional_measure import caption_similarity
 

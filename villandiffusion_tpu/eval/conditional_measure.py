@@ -210,6 +210,35 @@ class Measuring:
         return scores
 
 
+# The reference's published caption-similarity constants (its own CLIP-text
+# measurements, /root/reference/measure.py:14-45, dup sampling.py:12-43):
+# looked up into the run config at measure/sampling time (measure.py:67).
+# Live similarity for arbitrary triggers/datasets: caption_similarity below.
+CAPTION_SIMILARITY = {
+    "POKEMON-CAPTION": {
+        "TRIGGER_NONE": 1.0, "TRIGGER_ELLIPSIS": 0.980, "TRIGGER_SKS": 0.878,
+        "TRIGGER_EMOJI_SOCCER": 0.841, "TRIGGER_EMOJI_HOT": 0.792,
+        "TRIGGER_SEMANTIC_CAT": 0.912, "TRIGGER_LATTE_COFFEE": 0.784,
+        "TRIGGER_DETTA": 0.913, "TRIGGER_ANONYMOUS": 0.928,
+        "TRIGGER_SPYING": 0.898, "TRIGGER_FEDORA": 0.830,
+        "TRIGGER_MIGNNEKO": 0.733, "TRIGGER_ALBINO": 0.898,
+    },
+    "CELEBA-HQ-DIALOG": {
+        "TRIGGER_NONE": 1.0, "TRIGGER_ELLIPSIS": 0.974, "TRIGGER_SKS": 0.922,
+        "TRIGGER_EMOJI_SOCCER": 0.836, "TRIGGER_EMOJI_HOT": 0.801,
+        "TRIGGER_SEMANTIC_CAT": 0.878, "TRIGGER_LATTE_COFFEE": 0.807,
+        "TRIGGER_DETTA": 0.917, "TRIGGER_ANONYMOUS": 0.797,
+        "TRIGGER_SPYING": 0.896, "TRIGGER_FEDORA": 0.817,
+        "TRIGGER_MIGNNEKO": 0.710, "TRIGGER_ALBINO": 0.908,
+    },
+}
+
+
+def published_caption_similarity(dataset: str, trigger: str):
+    """The reference's table value for (in-dist dataset, trigger), or None."""
+    return CAPTION_SIMILARITY.get(dataset, {}).get(trigger)
+
+
 def caption_similarity(
     text_encode,
     tokenizer,
