@@ -66,14 +66,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="image-trigger backdoor loss instead of caption-only")
     p.add_argument("--checkpointing_steps", type=int, default=5000)
     p.add_argument("--resume_from_checkpoint", type=str, default=None)
-    p.add_argument("--output_dir", type=str, default=None)
+    p.add_argument("--output_dir", "--base_path", type=str, default=None,
+                   help="run directory (reference sampling/measure name: "
+                        "--base_path, config.py SamplingConfig)")
+    p.add_argument("--max_batch_n", type=int, default=9,
+                   help="sampling batch cap (SamplingStatic.MAX_BATCH_N)")
     p.add_argument("--result_dir", type=str, default=".")
     p.add_argument("--overwrite", action="store_true", default=False)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--guidance_scale", type=float, default=7.5)
     p.add_argument("--num_inference_steps", type=int, default=25)
     p.add_argument("--max_measure_samples", type=int, default=1000)
-    p.add_argument("--out_dist_dataset", type=str, default=None,
+    p.add_argument("--out_dist_dataset", "--out_dist_ds", type=str, default=None,
                    help="caption dataset for the OUT-dist half of the measure "
                         "matrix; default: the *other* caption dataset "
                         "(/root/reference/measure.py:60-65), NONE disables")
@@ -443,12 +447,22 @@ def run_sampling(args, pipe, dsl, out_dir: str) -> None:
                     if backdoor
                     else prompt
                 )
-                out = pipe(
-                    [text] * args.img_num_per_grid_sample,
-                    num_inference_steps=args.num_inference_steps,
-                    rng=jax.random.fold_in(rng0, hash((dist, split, kind, i)) % (1 << 31)),
+                rng_i = jax.random.fold_in(
+                    rng0, hash((dist, split, kind, i)) % (1 << 31)
                 )
-                IMG.save_grid(out.images, path)
+                # chunk by --max_batch_n (SamplingStatic.MAX_BATCH_N)
+                n_img, cap = args.img_num_per_grid_sample, args.max_batch_n
+                chunks = []
+                for lo in range(0, n_img, cap):
+                    out = pipe(
+                        [text] * min(cap, n_img - lo),
+                        num_inference_steps=args.num_inference_steps,
+                        rng=jax.random.fold_in(rng_i, lo),
+                    )
+                    chunks.append(out.images)
+                import numpy as _np
+
+                IMG.save_grid(_np.concatenate(chunks, axis=0), path)
             Log.info(f"sampling[{dist}/{split}/{kind}]: {len(prompts)} grids -> {part_dir}")
 
 
