@@ -34,6 +34,7 @@ from villandiffusion_tpu.io.checkpoint import (
     save_model_dir,
 )
 from villandiffusion_tpu.parallel import make_mesh, shard_batch
+from villandiffusion_tpu.utils.prefetch import prefetch
 from villandiffusion_tpu.train.loop import Trainer, make_optimizer
 from villandiffusion_tpu.train.loss import BackdoorLoss
 from villandiffusion_tpu.utils import samples as IMG
@@ -445,18 +446,23 @@ def train_loop(
                 if use_raw
                 else dsl.get_dataloader(epoch_seed=epoch)
             )
-            for batch in batches:
+
+            def host_stage(batch):
+                # indexing/blit + host->device placement on the prefetch
+                # thread, overlapped with the device's current step (the
+                # reference's DataLoader workers, dataset.py:460-470)
                 if use_raw:
-                    device_batch = shard_batch(mesh, dict(batch))
-                else:
-                    key = "image" if config.rm_backdoor else "target"
-                    device_batch = shard_batch(
-                        mesh,
-                        {
-                            key: batch[L.IMAGE if config.rm_backdoor else L.TARGET],
-                            "pixel_values": batch[L.PIXEL_VALUES],
-                        },
-                    )
+                    return shard_batch(mesh, dict(batch))
+                key = "image" if config.rm_backdoor else "target"
+                return shard_batch(
+                    mesh,
+                    {
+                        key: batch[L.IMAGE if config.rm_backdoor else L.TARGET],
+                        "pixel_values": batch[L.PIXEL_VALUES],
+                    },
+                )
+
+            for device_batch in prefetch(batches, transform=host_stage):
                 state, loss = step_fn(state, device_batch, rng)
                 loss_sum = loss if loss_sum is None else loss_sum + loss
                 n_steps += 1

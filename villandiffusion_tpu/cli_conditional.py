@@ -25,6 +25,7 @@ import numpy as np
 
 from villandiffusion_tpu.data import caption_loader as CL
 from villandiffusion_tpu.utils.log import Log, MetricsLogger
+from villandiffusion_tpu.utils.prefetch import prefetch
 
 MODEL_SD_v1_4 = "CompVis/stable-diffusion-v1-4"
 MODEL_SD_v1_5 = "CompVis/stable-diffusion-v1-5"
@@ -333,10 +334,19 @@ def train(args, stack: SDStack, out_dir: str) -> None:
     rng = jax.random.PRNGKey(args.seed or 0)
     step = int(state.step)
     epoch = 0
+
+    def host_stage(raw):
+        # tokenize-collate + host->device transfer on the prefetch thread,
+        # overlapped with the device's current step (the reference's 8
+        # DataLoader workers, dataset.py:460-470; one lookahead thread
+        # suffices because jax dispatch is already async)
+        b = tok_collate(raw)
+        return {k: jnp.asarray(b[k]) for k in batch_keys}
+
     while step < args.max_train_steps:
-        for raw in dsl.get_dataloader(epoch_seed=epoch):
-            batch = tok_collate(raw)
-            device_batch = {k: jnp.asarray(batch[k]) for k in batch_keys}
+        for device_batch in prefetch(
+            dsl.get_dataloader(epoch_seed=epoch), transform=host_stage
+        ):
             state, lval = step_fn(state, device_batch, rng)
             # host-side counter: int(state.step) would round-trip the device
             # every step and serialize dispatch on slow host links
