@@ -100,6 +100,22 @@ class TestConditionalCLI:
                 ]
             )
 
+    def test_sampling_image_backdoor_kind(self, run_dir):
+        """With an image trigger and no caption trigger, backdoor grids
+        sample from encode(noise + trigger) and land in image_backdoor
+        dirs (reference operate.py:150-156,230-240)."""
+        args = [a for a in COMMON]
+        args[args.index("TRIGGER_SKS")] = "NONE"
+        CC.main(
+            ["--mode", "sampling"] + args + [
+                "--output_dir", run_dir, "--trigger", "BOX_14",
+                "--clean_backdoor", "b",
+                "--img_num_per_grid_sample", "1", "--sample_prompts_n", "1",
+            ]
+        )
+        d = os.path.join(run_dir, "samples", "in_train_image_backdoor_step3_n1")
+        assert os.listdir(d) == ["grid_0.png"]
+
     @pytest.mark.slow
     def test_measure(self, run_dir):
         scores = CC.main(

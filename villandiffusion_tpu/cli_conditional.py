@@ -432,12 +432,20 @@ def run_sampling(args, pipe, dsl, out_dir: str) -> None:
         )
 
     modes = {"bc": (False, True), "c": (False,), "b": (True,)}[args.clean_backdoor]
-    trig = CaptionBackdoor.get_trigger(args.caption_trigger)
+    # reference backdoor_clean_samples (operate.py:230-240): caption trigger
+    # wins; an image trigger alone samples from encode(noise + trigger)
+    use_caption = bool(args.caption_trigger) and args.caption_trigger != "NONE"
+    if not use_caption and dsl._trigger is None:
+        raise ValueError(
+            "sampling backdoor parts need --caption_trigger or --trigger"
+        )
+    bd_kind = "caption_backdoor" if use_caption else "image_backdoor"
+    trig = CaptionBackdoor.get_trigger(args.caption_trigger) if use_caption else None
     rng0 = jax.random.PRNGKey(args.seed or 0)
     for dist, split, ds in parts:
         prompts = ds.split(split, args.sample_prompts_n)
         for backdoor in modes:
-            kind = "caption_backdoor" if backdoor else "clean"
+            kind = bd_kind if backdoor else "clean"
             # folder naming mirrors Sampling.get_folder (operate.py:49-64)
             part_dir = os.path.join(
                 out_dir, "samples",
@@ -454,7 +462,7 @@ def run_sampling(args, pipe, dsl, out_dir: str) -> None:
                     CaptionBackdoor.insert_trigger(
                         prompt, trig, args.trig_start_pos, args.trig_end_pos, prng
                     )
-                    if backdoor
+                    if backdoor and use_caption
                     else prompt
                 )
                 rng_i = jax.random.fold_in(
@@ -464,15 +472,26 @@ def run_sampling(args, pipe, dsl, out_dir: str) -> None:
                 n_img, cap = args.img_num_per_grid_sample, args.max_batch_n
                 chunks = []
                 for lo in range(0, n_img, cap):
+                    cnt = min(cap, n_img - lo)
+                    rng_lo = jax.random.fold_in(rng_i, lo)
+                    init = None
+                    if backdoor and not use_caption:
+                        # image-backdoor init: encode(noise + trigger) in
+                        # pixel space (operate.py:150-156)
+                        noise_px = jax.random.normal(
+                            rng_lo, (cnt,) + dsl._trigger.shape
+                        )
+                        init = pipe.encode(
+                            noise_px + jnp.asarray(dsl._trigger)[None]
+                        )
                     out = pipe(
-                        [text] * min(cap, n_img - lo),
+                        [text] * cnt,
                         num_inference_steps=args.num_inference_steps,
-                        rng=jax.random.fold_in(rng_i, lo),
+                        init=init,
+                        rng=rng_lo,
                     )
                     chunks.append(out.images)
-                import numpy as _np
-
-                IMG.save_grid(_np.concatenate(chunks, axis=0), path)
+                IMG.save_grid(np.concatenate(chunks, axis=0), path)
             Log.info(f"sampling[{dist}/{split}/{kind}]: {len(prompts)} grids -> {part_dir}")
 
 
