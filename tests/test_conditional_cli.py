@@ -100,6 +100,29 @@ class TestConditionalCLI:
                 ]
             )
 
+    def test_eval_modes_merge_saved_train_args(self, run_dir):
+        """sampling/measure need only the run dir: every unspecified flag
+        adopts the train run's args.json (CLI > saved > defaults, reference
+        measure.py:47-74), and the train record is never overwritten."""
+        with open(os.path.join(run_dir, "args.json")) as f:
+            before = f.read()
+        CC.main([
+            "--mode", "sampling", "--output_dir", run_dir,
+            "--img_num_per_grid_sample", "1", "--sample_prompts_n", "1",
+            "--clean_backdoor", "c", "--force_regenerate",
+        ])
+        with open(os.path.join(run_dir, "args.json")) as f:
+            assert f.read() == before  # train record untouched
+        with open(os.path.join(run_dir, "sampling.json")) as f:
+            cfg = json.load(f)
+        # merged from the train args (not the parser defaults)
+        assert cfg["num_fake"] == 20 and cfg["resolution"] == 16
+        assert cfg["caption_trigger"] == "TRIGGER_SKS"
+        # explicit CLI flags win
+        assert cfg["img_num_per_grid_sample"] == 1
+        d = os.path.join(run_dir, "samples", "in_train_clean_step3_n1")
+        assert os.path.exists(os.path.join(d, "grid_0.png"))
+
     def test_sampling_image_backdoor_kind(self, run_dir):
         """With an image trigger and no caption trigger, backdoor grids
         sample from encode(noise + trigger) and land in image_backdoor

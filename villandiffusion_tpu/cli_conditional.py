@@ -505,13 +505,50 @@ def _setup_runtime():
     setup_jax_cache()
 
 
+def _explicit_dests(parser, argv) -> set:
+    """Dests of flags literally present on the command line."""
+    import sys
+
+    dests = set()
+    for tok in (argv if argv is not None else sys.argv[1:]):
+        if isinstance(tok, str) and tok.startswith("-"):
+            act = parser._option_string_actions.get(tok.split("=", 1)[0])
+            if act is not None:
+                dests.add(act.dest)
+    return dests
+
+
+# run-dir keys that must never be overridden by a saved train config
+_NO_MERGE = {"mode", "output_dir", "result_dir", "overwrite"}
+
+
 def main(argv: Optional[List[str]] = None) -> Dict:
     _setup_runtime()
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
     out_dir = args.output_dir or os.path.join(args.result_dir, naming(args))
     os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, "args.json"), "w") as f:
-        json.dump(vars(args), f, indent=2, default=str)
+    saved_path = os.path.join(out_dir, "args.json")
+    if args.mode == "train":
+        # the train run's args.json is the durable record sampling/measure
+        # merge over later (reference arg_parser.py:108-151)
+        with open(saved_path, "w") as f:
+            json.dump(vars(args), f, indent=2, default=str)
+    else:
+        # layered merge, CLI > saved train args > defaults
+        # (reference measure.py:47-74, sampling.py arg_parse): flags not
+        # literally on the command line adopt the train run's values
+        if os.path.exists(saved_path):
+            with open(saved_path) as f:
+                train_args = json.load(f)
+            explicit = _explicit_dests(parser, argv)
+            for k, v in train_args.items():
+                if k not in explicit and k not in _NO_MERGE and hasattr(args, k):
+                    setattr(args, k, v)
+        # the eval run's own config goes to its mode file, NOT over the
+        # train record (reference sampling_config_file/measure config)
+        with open(os.path.join(out_dir, f"{args.mode}.json"), "w") as f:
+            json.dump(vars(args), f, indent=2, default=str)
     stack = build_stack(args)
     scores: Dict = {}
 
