@@ -181,6 +181,51 @@ class TestLayouts:
         _, caps2, _ = LF.load_images_and_captions(base, 16, 3)
         assert caps2 == caps1 == list(caps)
 
+    def test_regeneration_crash_window_is_fail_safe(self, tmp_path, monkeypatch):
+        """Crash between the .npy and sidecar renames during REgeneration
+        leaves new-.npy + old-sidecar; the stale fingerprint must force a
+        regenerate (with sidecar-first publication this window silently
+        served stale images forever)."""
+        monkeypatch.setattr(LF, "_MMAP_THRESHOLD_BYTES", 1)
+        cache_dir = tmp_path / "cache"
+        monkeypatch.setenv("VILLAN_CACHE", str(cache_dir))
+        base = str(tmp_path / "ds")
+        np.savez(base + ".npz", images=_imgs(4, seed=0))
+        LF.load_images_and_captions(base, 16, 3)
+        # source changes...
+        os.remove(base + ".npz")
+        np.savez(base + ".npz", images=_imgs(4, seed=7))
+        os.utime(base + ".npz", (0, 0))
+        # ...and the regeneration "crashed" right after the .npy rename:
+        # overwrite the cached npy with garbage, keep the OLD sidecar
+        (npy,) = [f for f in os.listdir(cache_dir) if f.endswith(".npy")]
+        garbage = np.zeros((4, 16, 16, 3), np.uint8)
+        np.save(str(cache_dir / npy)[:-4], garbage)
+        imgs, _, _ = LF.load_images_and_captions(base, 16, 3)
+        assert not np.array_equal(np.asarray(imgs), garbage)
+
+    def test_legacy_sidecar_without_fingerprint_is_stale(self, tmp_path, monkeypatch):
+        monkeypatch.setattr(LF, "_MMAP_THRESHOLD_BYTES", 1)
+        cache_dir = tmp_path / "cache"
+        monkeypatch.setenv("VILLAN_CACHE", str(cache_dir))
+        base = str(tmp_path / "ds")
+        np.savez(base + ".npz", images=_imgs(4, seed=0))
+        LF.load_images_and_captions(base, 16, 3)
+        import json as _json
+
+        (sc,) = [f for f in os.listdir(cache_dir) if f.endswith(".json")]
+        with open(cache_dir / sc) as f:
+            side = _json.load(f)
+        assert side.pop("fingerprint", None) is not None
+        with open(cache_dir / sc, "w") as f:
+            _json.dump(side, f)
+        # poison the npy to detect whether it was served or regenerated
+        (npy,) = [f for f in os.listdir(cache_dir) if f.endswith(".npy")]
+        garbage = np.zeros((4, 16, 16, 3), np.uint8)
+        np.save(str(cache_dir / npy)[:-4], garbage)
+        imgs, _, _ = LF.load_images_and_captions(base, 16, 3)
+        assert not np.array_equal(np.asarray(imgs), garbage)
+
     def test_missing_raises(self, tmp_path):
         with pytest.raises(FileNotFoundError):
             LF.resolve(str(tmp_path / "nope"))

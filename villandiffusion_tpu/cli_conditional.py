@@ -17,6 +17,7 @@ import argparse
 import dataclasses
 import json
 import os
+import zlib
 from typing import Dict, List, Optional
 
 import jax
@@ -33,7 +34,12 @@ MODEL_TINY = "TINY"
 
 
 def build_parser() -> argparse.ArgumentParser:
-    p = argparse.ArgumentParser(description="VillanDiffusion-TPU conditional")
+    # allow_abbrev=False: the eval modes' layered config merge detects
+    # explicitly-passed flags by scanning argv tokens; prefix abbreviations
+    # would silently lose to the saved train args
+    p = argparse.ArgumentParser(
+        description="VillanDiffusion-TPU conditional", allow_abbrev=False
+    )
     p.add_argument("--mode", type=str, default="train",
                    choices=["train", "sampling", "measure", "caption_sim"])
     p.add_argument("--pretrained_model_name_or_path", type=str, default=MODEL_TINY)
@@ -426,22 +432,33 @@ def run_sampling(args, pipe, dsl, out_dir: str) -> None:
     out_name = args.out_dist_dataset or default_out_dist(args.dataset_name)
     parts = [(MODE_IN_DIST, SPLIT_TRAIN, in_ds), (MODE_IN_DIST, SPLIT_TEST, in_ds)]
     if out_name and out_name != "NONE":
-        out_dsl = get_dataset(args, dataset_name=out_name, seed_shift=1)
+        # prompts only — never load/resize the other dataset's images
+        out_caps = CL.load_captions(
+            out_name, root=args.dataset_path, num_fake=args.num_fake,
+            seed=(args.seed or 0) + 1,
+        )
         parts.append(
-            (MODE_OUT_DIST, SPLIT_FULL, PromptDataset.from_captions(out_dsl._captions))
+            (MODE_OUT_DIST, SPLIT_FULL, PromptDataset.from_captions(out_caps))
         )
 
     modes = {"bc": (False, True), "c": (False,), "b": (True,)}[args.clean_backdoor]
     # reference backdoor_clean_samples (operate.py:230-240): caption trigger
     # wins; an image trigger alone samples from encode(noise + trigger)
-    use_caption = bool(args.caption_trigger) and args.caption_trigger != "NONE"
-    if not use_caption and dsl._trigger is None:
+    use_caption = bool(args.caption_trigger) and args.caption_trigger not in (
+        "NONE", CaptionBackdoor.TRIGGER_NONE,
+    )
+    if True in modes and not use_caption and dsl._trigger is None:
         raise ValueError(
             "sampling backdoor parts need --caption_trigger or --trigger"
         )
     bd_kind = "caption_backdoor" if use_caption else "image_backdoor"
     trig = CaptionBackdoor.get_trigger(args.caption_trigger) if use_caption else None
     rng0 = jax.random.PRNGKey(args.seed or 0)
+
+    def _stable_id(*fields) -> int:
+        # process-stable (PYTHONHASHSEED-independent) id for rng derivation
+        return zlib.crc32("/".join(map(str, fields)).encode()) & 0x7FFFFFFF
+
     for dist, split, ds in parts:
         prompts = ds.split(split, args.sample_prompts_n)
         for backdoor in modes:
@@ -453,11 +470,14 @@ def run_sampling(args, pipe, dsl, out_dir: str) -> None:
                 f"_step{args.num_inference_steps}_n{args.img_num_per_grid_sample}",
             )
             os.makedirs(part_dir, exist_ok=True)
-            prng = random.Random(args.seed or 0)
             for i, prompt in enumerate(prompts):
                 path = os.path.join(part_dir, f"grid_{i}.png")
                 if os.path.exists(path) and not args.force_regenerate:
                     continue
+                # per-grid PRNG (seeded by index, not draw order): a resumed
+                # run regenerating only grid k must insert the trigger at the
+                # same position a fresh run would
+                prng = random.Random(_stable_id("trig", args.seed or 0, i))
                 text = (
                     CaptionBackdoor.insert_trigger(
                         prompt, trig, args.trig_start_pos, args.trig_end_pos, prng
@@ -466,7 +486,7 @@ def run_sampling(args, pipe, dsl, out_dir: str) -> None:
                     else prompt
                 )
                 rng_i = jax.random.fold_in(
-                    rng0, hash((dist, split, kind, i)) % (1 << 31)
+                    rng0, _stable_id(dist, split, kind, i)
                 )
                 # chunk by --max_batch_n (SamplingStatic.MAX_BATCH_N)
                 n_img, cap = args.img_num_per_grid_sample, args.max_batch_n
@@ -586,10 +606,14 @@ def main(argv: Optional[List[str]] = None) -> Dict:
         out_name = args.out_dist_dataset or default_out_dist(args.dataset_name)
         out_dist = None
         if out_name and out_name != "NONE":
-            # seed_shift distinguishes the FAKE-CAPTION self-mapping; real
-            # datasets ignore the seed for caption content
-            out_dsl = get_dataset(args, dataset_name=out_name, seed_shift=1)
-            out_dist = PromptDataset.from_captions(out_dsl._captions)
+            # prompts only (seed shift distinguishes the FAKE-CAPTION
+            # self-mapping); the other dataset's images are never loaded
+            out_dist = PromptDataset.from_captions(
+                CL.load_captions(
+                    out_name, root=args.dataset_path, num_fake=args.num_fake,
+                    seed=(args.seed or 0) + 1,
+                )
+            )
         scores = measuring.measure(
             in_dist=PromptDataset.from_captions(dsl._captions),
             out_dist=out_dist,

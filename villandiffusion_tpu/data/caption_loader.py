@@ -88,6 +88,31 @@ def _load_caption_dataset(name, root, image_size, channel):
     return imgs, caps
 
 
+def load_captions(
+    name: str,
+    root: Optional[str] = None,
+    num_fake: int = 64,
+    seed: int = 0,
+) -> List[str]:
+    """Caption list for ``name`` WITHOUT loading/resizing any images —
+    the OUT-dist half of the measure/sampling matrix needs only prompts
+    (/root/reference/measure.py:60-65)."""
+    if name == FAKE_CAPTION:
+        return [_fake_caption(i + seed * num_fake) for i in range(num_fake)]
+    if name not in (POKEMON_CAPTION, CELEBA_HQ_DIALOG, LAION_COCO):
+        raise NotImplementedError(f"Undefined caption dataset: {name!r}")
+    from villandiffusion_tpu.data import local as LF
+
+    base = LF.find_local_root(root, _LOCAL_SUBDIRS[name])
+    if base is not None:
+        caps = LF.load_captions_only(base)
+        if caps is None:
+            raise ValueError(f"local dataset at {base!r} has no captions")
+        return caps
+    # network-gated hub fallback (loads images too; rare path)
+    return _load_caption_dataset(name, root, 64, 3)[1]
+
+
 class CaptionBackdoor:
     """Text-trigger table + random-position insertion
     (/root/reference/caption_dataset.py:625-794)."""

@@ -66,6 +66,10 @@ class _Source:
     def example(self, i: int) -> Tuple[Image.Image, Optional[str], Optional[float]]:
         raise NotImplementedError
 
+    def caption(self, i: int) -> Optional[str]:
+        """Caption WITHOUT decoding the image (prompt-only consumers)."""
+        raise NotImplementedError
+
 
 class _ArraySource(_Source):
     def __init__(self, images, captions=None, labels=None):
@@ -82,6 +86,9 @@ class _ArraySource(_Source):
         lab = None if self.labels is None else float(self.labels[i])
         return img, cap, lab
 
+    def caption(self, i):
+        return None if self.captions is None else str(self.captions[i])
+
 
 class _FileSource(_Source):
     def __init__(self, paths: List[str], captions=None, labels=None):
@@ -93,6 +100,9 @@ class _FileSource(_Source):
         cap = None if self.captions is None else str(self.captions[i])
         lab = None if self.labels is None else float(self.labels[i])
         return img, cap, lab
+
+    def caption(self, i):
+        return None if self.captions is None else str(self.captions[i])
 
 
 class _ParquetSource(_Source):
@@ -120,6 +130,12 @@ class _ParquetSource(_Source):
         cap = None if self._txt_col is None else str(row[self._txt_col])
         lab = None if self._lab_col is None else float(row[self._lab_col])
         return img, cap, lab
+
+    def caption(self, i):
+        if self._txt_col is None:
+            return None
+        k = int(np.searchsorted(self._offsets, i, side="right") - 1)
+        return str(self._tables[k].column(self._txt_col)[i - self._offsets[k]].as_py())
 
     def _decode_image(self, cell) -> Image.Image:
         import io
@@ -159,6 +175,23 @@ class _ArrowSource(_Source):
         cap = None if self._txt_col is None else str(row[self._txt_col])
         lab = None if self._lab_col is None else float(row[self._lab_col])
         return img, cap, lab
+
+    def caption(self, i):
+        if self._txt_col is None:
+            return None
+        if not hasattr(self, "_txt_cache"):
+            # one columnar read; avoids materializing image cells per row
+            self._txt_cache = self.ds[self._txt_col]
+        return str(self._txt_cache[int(i)])
+
+
+def load_captions_only(base: str, limit: Optional[int] = None) -> Optional[List[str]]:
+    """Caption list without decoding/resizing a single image (for prompt-only
+    consumers like the OUT-dist half of the conditional measure matrix)."""
+    src = resolve(base)
+    n = len(src) if limit is None else min(limit, len(src))
+    caps = [src.caption(i) for i in range(n)]
+    return None if any(c is None for c in caps) else caps
 
 
 def _fill_up_missing_dialog(data: Dict) -> Dict:
@@ -318,17 +351,18 @@ def load_images_and_captions(
     cache_dir = os.environ.get("VILLAN_CACHE", "/tmp/villan_cache")
     cache = os.path.join(cache_dir, _cache_key(base, image_size, channel, limit))
     cap_cache = cache[:-4] + ".json"
-    # A valid cache ALWAYS has its sidecar (written+published first, below);
-    # a bare .npy means a crash landed between the two — regenerate.  The
-    # sidecar records the source's fingerprint at conversion time: if the
-    # source still exists but changed, the cache is stale — regenerate.
-    # (A *deleted* source keeps serving the cache: converting once and
-    # dropping a huge original is a supported pattern.)
+    # A valid cache ALWAYS has its sidecar (published LAST, below); a bare
+    # .npy means a crash landed between the two — regenerate.  The sidecar
+    # records the source's fingerprint at conversion time: if the source
+    # still exists but changed — or the sidecar predates fingerprinting —
+    # the cache is stale, regenerate.  (A *deleted* source keeps serving the
+    # cache: converting once and dropping a huge original is a supported
+    # pattern.)
     if os.path.exists(cache) and os.path.exists(cap_cache):
         with open(cap_cache) as f:
             side = json.load(f)
         fp_now = _source_fingerprint(os.path.realpath(base))
-        if fp_now == "absent" or side.get("fingerprint") in (None, fp_now):
+        if fp_now == "absent" or side.get("fingerprint") == fp_now:
             imgs = np.load(cache, mmap_mode="r")
             captions = side.get("captions")
             labels = (
@@ -368,9 +402,13 @@ def load_images_and_captions(
         fill(dst)
         dst.flush()
         del dst
-        # Publish the sidecar FIRST: the load path treats npy-without-sidecar
-        # as an interrupted write, so a crash between the two renames costs a
-        # regeneration instead of permanently serving captions=None.
+        # Publish the .npy FIRST, sidecar LAST — fail-safe in both crash
+        # windows: fresh creation crashing between the renames leaves a bare
+        # .npy (no sidecar -> regenerate); REgeneration crashing there leaves
+        # the new .npy paired with the OLD sidecar, whose stale fingerprint
+        # forces a regenerate.  (Sidecar-first was fail-unsafe on
+        # regeneration: new sidecar + old .npy validated, silently serving
+        # the stale images forever.)
         side = {
             "captions": captions,
             "labels": None if labels is None else labels.tolist(),
@@ -379,8 +417,8 @@ def load_images_and_captions(
         ctmp = f"{cap_cache}.tmp.{os.getpid()}"
         with open(ctmp, "w") as f:
             json.dump(side, f)
-        os.replace(ctmp, cap_cache)
         os.replace(tmp, cache)
+        os.replace(ctmp, cap_cache)
         return np.load(cache, mmap_mode="r"), captions, labels
 
     imgs = np.empty((n, image_size, image_size, channel), np.uint8)

@@ -168,14 +168,31 @@ def torch_state_dict_to_flax(
 
     _convert_norm(tree, sd, "conv_norm_out", ("norm_out",))
     _convert_conv(tree, sd, "conv_out", ("conv_out",))
-    if strict:
-        leftover = set(sd.keys()) - sd.consumed
-        if leftover:
-            raise ValueError(
-                f"{len(leftover)} checkpoint tensors not mapped: "
-                f"{sorted(leftover)[:8]}..."
-            )
+    _check_consumed(sd, strict)
     return {"params": tree}
+
+
+def _check_consumed(sd: "_TrackedDict", strict) -> None:
+    """strict=True raises on unconsumed checkpoint tensors (tests pin full
+    consumption against the shipped layout manifests); strict='warn' (the
+    checkpoint loaders) logs them instead — benign extras in a real file
+    (EMA shadows, non-parameter buffers, a newer diffusers layout) should
+    not brick loading, while a key the converter NEEDS still KeyErrors."""
+    if not strict:
+        return
+    leftover = set(sd.keys()) - sd.consumed
+    if not leftover:
+        return
+    msg = (
+        f"{len(leftover)} checkpoint tensors not mapped: "
+        f"{sorted(leftover)[:8]}..."
+    )
+    if strict == "warn":
+        from villandiffusion_tpu.utils.log import Log
+
+        Log.warning(msg)
+    else:
+        raise ValueError(msg)
 
 
 def config_from_diffusers_json(cfg: Dict) -> UNet2DConfig:
@@ -220,4 +237,4 @@ def load_unet_checkpoint(ckpt_dir: str) -> Tuple[UNet2DConfig, Dict]:
         }
     else:
         raise FileNotFoundError(f"No model weights found under {ckpt_dir}")
-    return config, torch_state_dict_to_flax(sd, config, strict=True)
+    return config, torch_state_dict_to_flax(sd, config, strict="warn")

@@ -128,13 +128,9 @@ def torch_state_dict_to_flax_condition(
 
     _convert_norm(tree, sd, "conv_norm_out", ("norm_out",))
     _convert_conv(tree, sd, "conv_out", ("conv_out",))
-    if strict:
-        leftover = set(sd.keys()) - sd.consumed
-        if leftover:
-            raise ValueError(
-                f"{len(leftover)} checkpoint tensors not mapped: "
-                f"{sorted(leftover)[:8]}..."
-            )
+    from villandiffusion_tpu.models.convert import _check_consumed
+
+    _check_consumed(sd, strict)
     return {"params": tree}
 
 
@@ -217,7 +213,7 @@ def load_condition_unet_checkpoint(
         }
     else:
         raise FileNotFoundError(f"No model weights found under {ckpt_dir}")
-    converted = torch_state_dict_to_flax_condition(sd, config, strict=True)
+    converted = torch_state_dict_to_flax_condition(sd, config, strict="warn")
     if lora_rank > 0:
         model = UNet2DCondition(config)
         fresh = jax.tree.map(

@@ -275,7 +275,7 @@ def load_vq_checkpoint(vq_dir: str) -> VAEBundle:
         latent_channels=cfg.get("latent_channels", 3),
         num_vq_embeddings=cfg.get("num_vq_embeddings", 8192),
     )
-    params = _convert_vq_state_dict(sd, model, strict=True)
+    params = _convert_vq_state_dict(sd, model, strict="warn")
     return VAEBundle(model=model, params=params)
 
 
@@ -301,7 +301,7 @@ def load_kl_checkpoint(vae_dir: str) -> VAEBundle:
         out_channels=cfg.get("out_channels", 3),
         latent_channels=cfg.get("latent_channels", 4),
     )
-    params = _convert_vq_state_dict(sd, model, has_codebook=False, strict=True)
+    params = _convert_vq_state_dict(sd, model, has_codebook=False, strict="warn")
     return VAEBundle(
         model=model, params=params,
         scaling_factor=cfg.get("scaling_factor", 0.18215),
@@ -400,8 +400,14 @@ def _convert_vq_state_dict(
     if strict:
         leftover = set(sd.keys()) - consumed
         if leftover:
-            raise ValueError(
+            msg = (
                 f"{len(leftover)} VAE checkpoint tensors not mapped: "
                 f"{sorted(leftover)[:8]}..."
             )
+            if strict == "warn":
+                from villandiffusion_tpu.utils.log import Log
+
+                Log.warning(msg)
+            else:
+                raise ValueError(msg)
     return tree

@@ -42,22 +42,26 @@ def prefetch(
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     stop = threading.Event()
 
+    def put_or_stop(item) -> bool:
+        """Bounded put that re-checks the stop event; True if delivered."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def worker() -> None:
         try:
             for item in iterable:
                 if transform is not None:
                     item = transform(item)
-                while not stop.is_set():
-                    try:
-                        q.put(item, timeout=0.1)
-                        break
-                    except queue.Full:
-                        continue
-                if stop.is_set():
+                if not put_or_stop(item):
                     return
-            q.put(_END)
+            put_or_stop(_END)
         except BaseException as e:  # propagate to the consumer
-            q.put(e)
+            put_or_stop(e)
 
     t = threading.Thread(target=worker, daemon=True, name="villan-prefetch")
     t.start()
