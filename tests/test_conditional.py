@@ -172,13 +172,14 @@ class TestConditionalTraining:
         )
         vae_params = jax.jit(vae.init)(jax.random.PRNGKey(1), jnp.zeros((1, 16, 16, 3)))
 
-        def vae_encode(x, rng):
-            z = vae.apply(vae_params, x, method=vae.encode)
+        def vae_encode(fr, x, rng):
+            z = vae.apply(fr["vae"], x, method=vae.encode)
             return z * CT.SD_SCALING
 
         sched = CT.sd_schedule(100)
         loss = CT.CondBackdoorLoss(
-            schedule=sched, vae_encode=vae_encode, text_encode=text.encode
+            schedule=sched, vae_encode=vae_encode,
+            text_encode=lambda fr, ids: text.encode_with(fr["text"], ids),
         )
         trainer = CT.ConditionalTrainer(
             unet_apply=model.apply,
@@ -186,6 +187,7 @@ class TestConditionalTraining:
             terms=CT.caption_backdoor_terms(prior_loss_weight=1.0),
             optimizer=CT.make_lora_optimizer(params, 1e-2, warmup_steps=1, total_steps=50),
             mesh=mesh,
+            frozen={"vae": vae_params, "text": text.params},
         )
         state = trainer.init_state(params)
         step = trainer.make_step()
@@ -242,12 +244,12 @@ class TestSplitTermStep:
             jax.random.PRNGKey(1), jnp.zeros((1, 16, 16, 3))
         )
 
-        def vae_encode(x, rng):
-            return vae.apply(vae_params, x, method=vae.encode) * CT.SD_SCALING
+        def vae_encode(fr, x, rng):
+            return vae.apply(fr["vae"], x, method=vae.encode) * CT.SD_SCALING
 
         loss = CT.CondBackdoorLoss(
             schedule=CT.sd_schedule(100), vae_encode=vae_encode,
-            text_encode=text.encode,
+            text_encode=lambda fr, ids: text.encode_with(fr["text"], ids),
         )
         # 3 terms: backdoor + prior (the canonical SD-512 pair) + an extra
         # weighted image term so the accumulation loop runs more than once
@@ -258,6 +260,7 @@ class TestSplitTermStep:
                 params, 1e-2, warmup_steps=1, total_steps=50
             ),
             mesh=mesh,
+            frozen={"vae": vae_params, "text": text.params},
         )
         tok = CL.HashTokenizer(vocab_size=1024)
         collate = CL.collate_fn_backdoor_gen(tok)

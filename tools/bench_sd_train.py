@@ -54,11 +54,12 @@ def main():
     )
     kl_params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), kl_params)
 
-    def vae_encode(x, rng=None):
-        z = kl.apply(kl_params, x.astype(jnp.bfloat16), method=kl.encode)
+    def vae_encode(fr, x, rng=None):
+        z = kl.apply(fr["vae"], x.astype(jnp.bfloat16), method=kl.encode)
         return (z * SD_SCALING).astype(jnp.float32)
 
     text = make_tiny_text_encoder(hidden_size=cfg.cross_attention_dim)
+    frozen = {"vae": kl_params, "text": text.params}
 
     def unet_apply(p, x, t, emb):
         p_c = jax.tree.map(lambda a: a.astype(jnp.bfloat16), p)
@@ -81,11 +82,12 @@ def main():
         unet_apply=unet_apply,
         loss=CondBackdoorLoss(
             schedule=sd_schedule(), vae_encode=vae_encode,
-            text_encode=text.encode,
+            text_encode=lambda fr, ids: text.encode_with(fr["text"], ids),
         ),
         terms=terms,
         optimizer=make_lora_optimizer(params, learning_rate=1e-4, warmup_steps=1),
         mesh=make_mesh(),
+        frozen=frozen,
     )
     state = trainer.init_state(params)
     step_fn = trainer.make_split_step() if split else trainer.make_step()

@@ -160,18 +160,11 @@ def build_stack(args) -> SDStack:
         kl_params = jax.jit(kl.init)(
             jax.random.PRNGKey(1), jnp.zeros((1, image_size, image_size, 3))
         )
-
-        class _KL:
-            def encode(self, x, rng=None):
-                return kl.apply(kl_params, x, method=kl.encode) * SD_SCALING
-
-            def decode(self, z):
-                return kl.apply(kl_params, z / SD_SCALING, method=kl.decode)
-
+        vae = VAEBundle(model=kl, params=kl_params, scaling_factor=SD_SCALING)
         text = make_tiny_text_encoder(hidden_size=cfg.cross_attention_dim)
         tokenizer = get_tokenizer(None)
         return SDStack(
-            unet=unet, params=params, vae=_KL(), text=text, tokenizer=tokenizer,
+            unet=unet, params=params, vae=vae, text=text, tokenizer=tokenizer,
             schedule=sd_schedule(), latent_size=cfg.sample_size,
             image_size=image_size,
         )
@@ -191,23 +184,12 @@ def build_stack(args) -> SDStack:
         )
         unet = UNet2DCondition(cfg)
         kl_bundle = load_kl_checkpoint(os.path.join(name, "vae"))
-
-        class _KLPretrained:
-            def encode(self, x, rng=None):
-                z = kl_bundle.model.apply(
-                    kl_bundle.params, x, rng, method=kl_bundle.model.encode
-                )
-                return z * kl_bundle.scaling_factor
-
-            def decode(self, z):
-                return kl_bundle.decode(z)
-
         text = load_text_encoder(name)
         tokenizer = get_tokenizer(name)
         vae_factor = 2 ** (len(kl_bundle.model.block_out_channels) - 1)
         image_size = args.resolution or cfg.sample_size * vae_factor
         return SDStack(
-            unet=unet, params=params, vae=_KLPretrained(), text=text,
+            unet=unet, params=params, vae=kl_bundle, text=text,
             tokenizer=tokenizer, schedule=sd_schedule(),
             latent_size=image_size // vae_factor, image_size=image_size,
         )
@@ -271,10 +253,13 @@ def train(args, stack: SDStack, out_dir: str) -> None:
     from villandiffusion_tpu.train import conditional as CT
 
     mesh = make_mesh()
+    # frozen weights ride into the jitted step as an argument (constants
+    # would bloat the compiled program by the full VAE+text param bytes)
+    frozen = {"vae": stack.vae.params, "text": stack.text.params}
     loss = CT.CondBackdoorLoss(
         schedule=stack.schedule,
-        vae_encode=lambda x, rng: stack.vae.encode(x, rng),
-        text_encode=stack.text.encode,
+        vae_encode=lambda fr, x, rng: stack.vae.encode_with(fr["vae"], x, rng),
+        text_encode=lambda fr, ids: stack.text.encode_with(fr["text"], ids),
     )
     terms = (
         CT.image_backdoor_terms(args.prior_loss_weight)
@@ -306,6 +291,7 @@ def train(args, stack: SDStack, out_dir: str) -> None:
             )
         ),
         mesh=mesh,
+        frozen=frozen,
     )
     state = trainer.init_state(stack.params)
     if args.resume_from_checkpoint:

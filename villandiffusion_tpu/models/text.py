@@ -24,15 +24,21 @@ class TextEncoderBundle:
     params: dict
     hidden_size: int
 
-    def encode(self, input_ids: jnp.ndarray) -> jnp.ndarray:
-        """(B, T) int32 token ids -> (B, T, hidden) last_hidden_state."""
+    def encode_with(self, params, input_ids: jnp.ndarray) -> jnp.ndarray:
+        """Like ``encode`` but with explicit params, for jitted consumers —
+        closing over the 49408-row embedding table bakes it into the HLO as
+        literal constants (~400 MB of payload for the SD text encoder)."""
         ids = jnp.asarray(input_ids)
         mask = jnp.ones_like(ids)
         pos = jnp.broadcast_to(jnp.arange(ids.shape[1])[None, :], ids.shape)
         out = self.model.apply(
-            {"params": self.params}, ids, mask, pos, deterministic=True
+            {"params": params}, ids, mask, pos, deterministic=True
         )
         return out.last_hidden_state
+
+    def encode(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+        """(B, T) int32 token ids -> (B, T, hidden) last_hidden_state."""
+        return self.encode_with(self.params, input_ids)
 
 
 def make_tiny_text_encoder(

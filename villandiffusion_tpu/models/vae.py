@@ -207,20 +207,40 @@ class AutoencoderKLFlax(nn.Module):
 
 @dataclasses.dataclass
 class VAEBundle:
-    """Pipeline-facing wrapper: pure encode/decode closures over params."""
+    """Pipeline-facing wrapper around a frozen VAE.
+
+    ``encode_with``/``decode_with`` take the params EXPLICITLY so jitted
+    consumers (samplers, train steps) can pass them as arguments — a VAE
+    applied with closed-over params bakes every weight into the compiled
+    program as literal constants (hundreds of MB of HLO for the SD KL-VAE),
+    which bloats compile payloads and executables.  ``encode``/``decode``
+    are the eager conveniences that close over ``self.params``.
+    """
 
     model: object
     params: dict
     scaling_factor: float = 1.0
 
-    def encode(self, x):
-        z = self.model.apply(self.params, x, method=self.model.encode)
+    def encode_with(self, params, x, rng=None):
+        if rng is not None:
+            try:
+                z = self.model.apply(params, x, rng, method=self.model.encode)
+            except TypeError:  # VQ encode takes no rng
+                z = self.model.apply(params, x, method=self.model.encode)
+        else:
+            z = self.model.apply(params, x, method=self.model.encode)
         return z * self.scaling_factor
 
-    def decode(self, z):
+    def decode_with(self, params, z):
         return self.model.apply(
-            self.params, z / self.scaling_factor, method=self.model.decode
+            params, z / self.scaling_factor, method=self.model.decode
         )
+
+    def encode(self, x, rng=None):
+        return self.encode_with(self.params, x, rng)
+
+    def decode(self, z):
+        return self.decode_with(self.params, z)
 
 
 def make_random_vq(rng=None, **kwargs) -> VAEBundle:

@@ -120,8 +120,20 @@ class DiffusionPipeline:
             return x
         return self.vae.decode(x)
 
-    def _to_images(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = self.decode(x)
+    def _vae_params(self):
+        """Frozen decoder params, threaded through the jitted run as an
+        ARGUMENT — decoding with closed-over params would inline every VAE
+        weight into the compiled program as literal constants (55-84M params
+        for the VQ/KL models => hundreds of MB of HLO payload)."""
+        return getattr(self.vae, "params", None) if self.vae is not None else None
+
+    def _to_images(self, x: jnp.ndarray, vae_params=None) -> jnp.ndarray:
+        if self.vae is not None:
+            vp = vae_params if vae_params is not None else self._vae_params()
+            if vp is not None and hasattr(self.vae, "decode_with"):
+                x = self.vae.decode_with(vp, x)
+            else:  # param-less stub VAEs (tests) keep the closure path
+                x = self.vae.decode(x)
         if self.output_map == "vp":
             return jnp.clip(x / 2.0 + 0.5, 0.0, 1.0)
         return jnp.clip(x, 0.0, 1.0)
@@ -143,12 +155,13 @@ class DiffusionPipeline:
             sampler = dataclasses.replace(sampler, eta=eta)
         n_iters = len(sampler.timesteps(num_inference_steps))
 
-        def run(params, x, rng):
+        def run(packed, x, rng):
+            params, vae_params = packed
             carry0 = sampler.init_carry(x, num_inference_steps)
             idxs = jnp.arange(start_from, n_iters)
             if movie == "first":
                 # shape-stable carry slot for the first denoised frame
-                spec = jax.eval_shape(self._to_images, x)
+                spec = jax.eval_shape(self._to_images, x, vae_params)
                 first0 = jnp.zeros(spec.shape, spec.dtype)
             else:
                 first0 = jnp.zeros((0,))
@@ -168,7 +181,10 @@ class DiffusionPipeline:
                 x_next, carry = sampler.step(
                     x, i, carry, sub, eval_model, num_inference_steps
                 )
-                y = self._to_images(x_next) if movie == "all" else jnp.zeros((0,))
+                y = (
+                    self._to_images(x_next, vae_params)
+                    if movie == "all" else jnp.zeros((0,))
+                )
                 if movie == "first":
                     # keep only the first denoised frame in a carry slot:
                     # the CLI grids use movie[0] alone, and a full 1000-step
@@ -176,7 +192,7 @@ class DiffusionPipeline:
                     # decode out of the per-step cost for latent models
                     first = jax.lax.cond(
                         i == idxs[0],
-                        lambda xn=x_next: self._to_images(xn),
+                        lambda xn=x_next: self._to_images(xn, vae_params),
                         lambda: first,
                     )
                 return (x_next, carry, key, first), y
@@ -190,7 +206,7 @@ class DiffusionPipeline:
                 # decoder would wash out differences (e.g. random-init VAE)
                 images = x_final
             else:
-                images = self._to_images(x_final)
+                images = self._to_images(x_final, vae_params)
                 if out == "uint8":
                     # quantize on-device: the measure path writes PNGs (u8)
                     # and the reference computes metrics FROM those PNGs, so
@@ -237,6 +253,10 @@ class DiffusionPipeline:
                 self.params = jax.device_put(
                     self.params, replicated_sharding(self.mesh)
                 )
+                if self.vae is not None and hasattr(self.vae, "params"):
+                    self.vae.params = jax.device_put(
+                        self.vae.params, replicated_sharding(self.mesh)
+                    )
                 self._params_placed = True
             pad = (-n_req) % self.mesh.size
             if pad:
@@ -257,7 +277,7 @@ class DiffusionPipeline:
         run = self._compiled_run(
             int(num_inference_steps), int(start_from), movie_mode, out, eta_key
         )
-        images, ys, first = run(self.params, init, rng)
+        images, ys, first = run((self.params, self._vae_params()), init, rng)
         if init.shape[0] != n_req:  # drop mesh-padding rows
             images = images[:n_req]
             if movie_mode == "all":

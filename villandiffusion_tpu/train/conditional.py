@@ -57,9 +57,17 @@ class LossTerm:
 
 @dataclasses.dataclass
 class CondBackdoorLoss:
+    """The encode callables take the FROZEN params explicitly —
+    ``vae_encode(frozen, x, rng)`` / ``text_encode(frozen, ids)`` — so the
+    jitted train step receives VAE + text-encoder weights as ARGUMENTS.
+    Closing over them would inline ~0.5 GB of literal constants into the
+    step's HLO for the real SD stack (the text embedding table alone is
+    ~400 MB of payload), which is what compile-size-limited paths choke on.
+    """
+
     schedule: S.VPSchedule
-    vae_encode: Callable               # (x, rng) -> latents (already scaled)
-    text_encode: Callable              # (ids) -> (B, T, hidden)
+    vae_encode: Callable               # (frozen, x, rng) -> scaled latents
+    text_encode: Callable              # (frozen, ids) -> (B, T, hidden)
     prediction_type: str = "epsilon"   # or "v_prediction"
     psi: float = 1.0
     solver_type: str = "ode"
@@ -77,9 +85,10 @@ class CondBackdoorLoss:
         batch: Dict,
         term: LossTerm,
         rng: jax.Array,
+        frozen=None,
     ) -> jnp.ndarray:
         r_enc, r_t, r_n = jax.random.split(rng, 3)
-        latents = self.vae_encode(batch[term.latent_key], r_enc)
+        latents = self.vae_encode(frozen, batch[term.latent_key], r_enc)
         bs = latents.shape[0]
         T = self.schedule.timesteps
         t = jax.random.randint(r_t, (bs,), 0, T)
@@ -91,12 +100,12 @@ class CondBackdoorLoss:
             shape = (bs,) + (1,) * (latents.ndim - 1)
             step_t = jnp.asarray(step, latents.dtype)[t].reshape(shape)
             coef_t = jnp.asarray(coef, latents.dtype)[t].reshape(shape)
-            pois = self.vae_encode(batch[term.poison_key], r_enc)
+            pois = self.vae_encode(frozen, batch[term.poison_key], r_enc)
             x_noisy = x_noisy + step_t * pois
             target = noise + coef_t * pois
         if self.prediction_type == "v_prediction":
             target = velocity(self.schedule, latents, target, t)
-        emb = self.text_encode(batch[term.caption_key])
+        emb = self.text_encode(frozen, batch[term.caption_key])
         pred = unet_apply(params, x_noisy, t, emb)
         return ((pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2).mean()
 
@@ -107,11 +116,13 @@ class CondBackdoorLoss:
         batch: Dict,
         terms: List[LossTerm],
         rng: jax.Array,
+        frozen=None,
     ) -> jnp.ndarray:
         total = 0.0
         for k, term in enumerate(terms):
             total += term.weight * self.term_loss(
-                unet_apply, params, batch, term, jax.random.fold_in(rng, k)
+                unet_apply, params, batch, term, jax.random.fold_in(rng, k),
+                frozen,
             )
         return total
 
@@ -210,6 +221,10 @@ class ConditionalTrainer:
     terms: List[LossTerm]
     optimizer: optax.GradientTransformation
     mesh: object
+    # frozen (non-trained) weights the loss's encode callables need —
+    # VAE + text-encoder params — threaded through the jitted steps as an
+    # argument so they never become compiled-in constants
+    frozen: object = None
 
     def init_state(self, params) -> TrainState:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -233,11 +248,13 @@ class ConditionalTrainer:
 
         repl = NamedSharding(self.mesh, P())
 
-        def step_fn(state: TrainState, batch, rng):
+        def step_fn(state: TrainState, batch, rng, frozen):
             rng = jax.random.fold_in(rng, state.step)
 
             def loss_fn(p):
-                return self.loss(self.unet_apply, p, batch, self.terms, rng)
+                return self.loss(
+                    self.unet_apply, p, batch, self.terms, rng, frozen
+                )
 
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
             updates, opt_state = self.optimizer.update(
@@ -250,12 +267,13 @@ class ConditionalTrainer:
             )
 
         # pinned shardings: inferred shardings make the second call recompile
-        return jax.jit(
+        jit_step = jax.jit(
             step_fn,
-            in_shardings=(repl, repl, repl),
+            in_shardings=(repl, repl, repl, repl),
             out_shardings=(repl, repl),
             donate_argnums=(0,),
         )
+        return lambda state, batch, rng: jit_step(state, batch, rng, self.frozen)
 
     def make_split_step(self):
         """One jitted graph per loss TERM plus a small jitted optimizer
@@ -286,12 +304,12 @@ class ConditionalTrainer:
         canon_pois = LossTerm("x", "ids", 1.0, poison_key="pois")
 
         def accum(term):
-            def f(params, mini, weight, k, step, rng, acc_loss, acc_grads):
+            def f(params, mini, weight, k, step, rng, frozen, acc_loss, acc_grads):
                 r = jax.random.fold_in(jax.random.fold_in(rng, step), k)
 
                 def loss_fn(p):
                     return weight * self.loss.term_loss(
-                        self.unet_apply, p, mini, term, r
+                        self.unet_apply, p, mini, term, r, frozen
                     )
 
                 loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -299,9 +317,9 @@ class ConditionalTrainer:
 
             return jax.jit(
                 f,
-                in_shardings=(repl,) * 8,
+                in_shardings=(repl,) * 9,
                 out_shardings=(repl, repl),
-                donate_argnums=(7,),
+                donate_argnums=(8,),
             )
 
         plain_jit, pois_jit = accum(canon_plain), accum(canon_pois)
@@ -346,7 +364,7 @@ class ConditionalTrainer:
                     fn = plain_jit
                 loss, grads = fn(
                     state.params, mini, jnp.float32(term.weight),
-                    jnp.int32(k), state.step, rng, loss, grads,
+                    jnp.int32(k), state.step, rng, self.frozen, loss, grads,
                 )
             return apply_jit(state, loss, grads)
 

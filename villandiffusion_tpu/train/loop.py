@@ -143,15 +143,20 @@ class Trainer:
         data_sh = M.data_sharding(self.mesh)
         repl_sh = M.replicated_sharding(self.mesh)
 
-        def step_fn(state: TrainState, batch, rng):
+        def step_fn(state: TrainState, batch, rng, vae_params):
             rng_t, rng_n = jax.random.split(jax.random.fold_in(rng, state.step))
             if self.batch_transform is not None:
                 batch = self.batch_transform(batch)
             if self.vae is not None and self.vae_encode:
-                # LDM: train on frozen-VAE latents (loss.py:941-951 semantics)
+                # LDM: train on frozen-VAE latents (loss.py:941-951
+                # semantics); params enter as an ARGUMENT — closed-over VAE
+                # weights would be inlined into the step's HLO as literal
+                # constants (the VQ-f4 model is 55M params)
                 batch = {
                     k: jax.lax.stop_gradient(
-                        self.vae.encode(v.astype(jnp.float32))
+                        self.vae.encode_with(vae_params, v.astype(jnp.float32))
+                        if hasattr(self.vae, "encode_with")
+                        else self.vae.encode(v.astype(jnp.float32))
                     )
                     for k, v in batch.items()
                 }
@@ -189,9 +194,11 @@ class Trainer:
                 raise RuntimeError("call init_state() before make_step() with FSDP")
             self._cached_state_shardings = repl_sh
         state_sh = self._cached_state_shardings
-        return jax.jit(
+        jit_step = jax.jit(
             step_fn,
-            in_shardings=(state_sh, batch_shardings, repl_sh),
+            in_shardings=(state_sh, batch_shardings, repl_sh, repl_sh),
             out_shardings=(state_sh, repl_sh),
             donate_argnums=(0,),
         )
+        vae_params = getattr(self.vae, "params", None) if self.vae is not None else None
+        return lambda state, batch, rng: jit_step(state, batch, rng, vae_params)
