@@ -67,12 +67,12 @@ def main():
             p_c, x.astype(jnp.bfloat16), t, emb.astype(jnp.bfloat16)
         ).astype(jnp.float32)
 
-    # The axon tunnel's remote_compile endpoint rejects payloads past a size
-    # limit (HTTP 413): the MONOLITHIC 2-term step's HLO (4 UNet applies
-    # with grad) does not compile there.  make_split_step jits one term per
-    # micro-step (2 UNet applies; the canonical backdoor+prior pair shares
-    # ONE compiled graph) + a grad-accum optimizer apply — exact, and the
-    # product path for the canonical config (--split_loss_terms).
+    # The historical HTTP-413 on the 2-term step was closed-over frozen
+    # params inlined as HLO constants (~420 MB of payload; now passed as
+    # arguments, 2.7 MB).  make_split_step remains the canonical-config
+    # default here: one term per micro-step (the backdoor+prior pair shares
+    # ONE compiled graph) + a grad-accum apply — exact, and it halves peak
+    # activation memory vs tracing both terms into one graph.
     n_terms = int(os.environ.get("VILLAN_SD_TERMS", "2"))
     split = os.environ.get("VILLAN_SD_SPLIT", "1" if n_terms > 1 else "0") == "1"
     from villandiffusion_tpu.train.conditional import clean_terms
