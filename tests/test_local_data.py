@@ -181,6 +181,54 @@ class TestLayouts:
         _, caps2, _ = LF.load_images_and_captions(base, 16, 3)
         assert caps2 == caps1 == list(caps)
 
+    def test_captions_only_never_decodes_images(self, tmp_path, monkeypatch):
+        """load_captions_only reads caption metadata without opening a
+        single image file (the OUT-dist prompt path)."""
+        import io
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        # imagefolder + metadata.jsonl
+        base = tmp_path / "ds"
+        base.mkdir()
+        src = _imgs(4)
+        rows = []
+        for i in range(4):
+            Image.fromarray(src[i]).save(base / f"{i}.png")
+            rows.append({"file_name": f"{i}.png", "text": f"cap {i}"})
+        with open(base / "metadata.jsonl", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        # decoding an image must not happen: poison every image file
+        for i in range(4):
+            (base / f"{i}.png").write_bytes(b"not a png")
+        assert LF.load_captions_only(str(base)) == [f"cap {i}" for i in range(4)]
+
+        # parquet: only the text column is touched
+        pbase = tmp_path / "pds"
+        pbase.mkdir()
+        cells = []
+        for i in range(3):
+            buf = io.BytesIO()
+            Image.fromarray(src[i]).save(buf, format="PNG")
+            cells.append({"bytes": buf.getvalue(), "path": None})
+        pq.write_table(
+            pa.table({"image": cells, "text": [f"p {i}" for i in range(3)]}),
+            pbase / "part-0.parquet",
+        )
+        assert LF.load_captions_only(str(pbase)) == ["p 0", "p 1", "p 2"]
+
+        # npz with captions
+        nbase = str(tmp_path / "nds")
+        np.savez(nbase + ".npz", images=_imgs(3),
+                 captions=np.array(["x", "y", "z"]))
+        assert LF.load_captions_only(nbase) == ["x", "y", "z"]
+        # and captionless sources report None
+        mbase = str(tmp_path / "mds")
+        np.save(mbase + ".npy", _imgs(2))
+        assert LF.load_captions_only(mbase) is None
+
     def test_regeneration_crash_window_is_fail_safe(self, tmp_path, monkeypatch):
         """Crash between the .npy and sidecar renames during REgeneration
         leaves new-.npy + old-sidecar; the stale fingerprint must force a
