@@ -100,6 +100,33 @@ class TestConditionalCLI:
                 ]
             )
 
+    def test_resume_restores_full_train_state(self, tmp_path):
+        """--resume_from_checkpoint latest restores params + optimizer state
+        + step from the orbax checkpoint (the reference's
+        accelerator.save_state contract) and continues to max_train_steps."""
+        from villandiffusion_tpu.io.checkpoint import CheckpointManager
+
+        res = str(tmp_path / "cond")
+        args = [a for a in COMMON]
+        args[args.index("--max_train_steps") + 1] = "4"
+        args[args.index("--checkpointing_steps") + 1] = "2"
+        CC.main(["--mode", "train"] + args + ["--result_dir", res])
+        (out,) = os.listdir(res)
+        run = os.path.join(res, out)
+        assert CheckpointManager(os.path.join(run, "ckpt")).latest_step() == 4
+
+        args[args.index("--max_train_steps") + 1] = "6"
+        CC.main(
+            ["--mode", "train"] + args + [
+                "--output_dir", run, "--resume_from_checkpoint", "latest",
+            ]
+        )
+        # resumed from step 4 -> trained 5,6 -> checkpointed at 6
+        assert CheckpointManager(os.path.join(run, "ckpt")).latest_step() == 6
+        assert os.path.exists(os.path.join(run, "lora_6", "lora_weights.npz"))
+        # steps 1-4 were NOT redone: their snapshots are from the first run
+        assert os.path.exists(os.path.join(run, "lora_2", "lora_weights.npz"))
+
     def test_eval_modes_merge_saved_train_args(self, run_dir):
         """sampling/measure need only the run dir: every unspecified flag
         adopts the train run's args.json (CLI > saved > defaults, reference

@@ -293,16 +293,31 @@ def train(args, stack: SDStack, out_dir: str) -> None:
         mesh=mesh,
         frozen=frozen,
     )
+    from villandiffusion_tpu.io.checkpoint import CheckpointManager
+
+    # full-state checkpoints (params + optimizer state + step), the
+    # reference's accelerator.save_state at every checkpointing_steps
+    # (viallanDiffusion_conditional.py:1776-1794); lora_<step>/ weight dirs
+    # ride alongside for the sampling/measure loaders
+    ckpt_mgr = CheckpointManager(os.path.join(out_dir, "ckpt"))
     state = trainer.init_state(stack.params)
     if args.resume_from_checkpoint:
         ckpt = args.resume_from_checkpoint
-        if ckpt == "latest":
+        if ckpt == "latest" and ckpt_mgr.latest_step() is not None:
+            state, _extra, step0 = ckpt_mgr.restore(state)
+            Log.info(
+                f"resumed full train state (step {step0}) from {out_dir}/ckpt"
+            )
+            ckpt = None
+        elif ckpt == "latest":
             cands = sorted(
                 (d for d in os.listdir(out_dir) if d.startswith("lora_")),
                 key=lambda d: int(d.split("_")[1]),
             )
             ckpt = os.path.join(out_dir, cands[-1]) if cands else None
         if ckpt:
+            # weights-only fallback (a lora_<step>/ dir): optimizer state
+            # and step counter start fresh
             state = dataclasses.replace(
                 state, params=load_lora(ckpt, state.params)
             )
@@ -351,9 +366,11 @@ def train(args, stack: SDStack, out_dir: str) -> None:
                     os.path.join(out_dir, f"lora_{step}"), state.params,
                     full=getattr(args, "full_finetune", False),
                 )
+                ckpt_mgr.save(step, state, extra={"step": step})
             if step >= args.max_train_steps:
                 break
         epoch += 1
+    ckpt_mgr.wait()
     save_lora(out_dir, state.params, full=getattr(args, "full_finetune", False))
     Log.info(f"saved final weights to {out_dir}")
 
