@@ -246,9 +246,13 @@ def caption_similarity(
     trigger_type: str,
     rand_pos: int = 0,
     seed: int = 0,
+    flatten: bool = True,
 ) -> float:
     """Mean cosine similarity between triggered and raw caption embeddings
-    (caption_sim.py:86-145; mean-pooled last hidden state)."""
+    (caption_sim.py:86-145).  ``flatten=True`` is the reference's default
+    metric — the full (T, hidden) last-hidden-state flattened to one vector
+    and L2-normalized (caption_sim.py ``flatten_embed``, compute_sim_1D);
+    ``flatten=False`` mean-pools over tokens before the cosine."""
     import random
 
     trig = CaptionBackdoor.get_trigger(trigger_type)
@@ -261,8 +265,8 @@ def caption_similarity(
     def embed(texts):
         ids = np.asarray(tokenizer(list(texts))["input_ids"], np.int32)
         h = text_encode(jnp.asarray(ids))
-        pooled = h.mean(axis=1)
-        return pooled / jnp.linalg.norm(pooled, axis=-1, keepdims=True)
+        v = h.reshape(h.shape[0], -1) if flatten else h.mean(axis=1)
+        return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
 
     a, b = embed(captions), embed(triggered)
     return float((a * b).sum(axis=-1).mean())
