@@ -293,6 +293,47 @@ class TestSplitTermStep:
             )
 
 
+def test_frozen_params_are_arguments_not_hlo_constants():
+    """Regression guard for the compile-payload fix: the train step must
+    receive frozen VAE/text params as jit ARGUMENTS.  Closing over them
+    inlines the weights into the program as literal constants — for the
+    real SD stack that is ~0.5 GB of HLO (the remote-compile 413s) — so the
+    lowered text with frozen-as-args must be dramatically smaller than the
+    closed-over variant of the same loss."""
+    from villandiffusion_tpu.models.text import make_tiny_text_encoder
+    from villandiffusion_tpu.models.vae import AutoencoderKLFlax
+    from villandiffusion_tpu.train import conditional as CT
+
+    model = UNet2DCondition(UNet2DConditionConfig.tiny(lora_rank=2))
+    params = model.init_params(jax.random.PRNGKey(0))
+    text = make_tiny_text_encoder(hidden_size=32)
+    vae = AutoencoderKLFlax(
+        block_out_channels=(8, 16), layers_per_block=1, latent_channels=4
+    )
+    vae_params = jax.jit(vae.init)(jax.random.PRNGKey(1), jnp.zeros((1, 16, 16, 3)))
+    frozen = {"vae": vae_params, "text": text.params}
+    loss = CT.CondBackdoorLoss(
+        schedule=CT.sd_schedule(100),
+        vae_encode=lambda fr, x, rng: vae.apply(
+            fr["vae"], x, method=vae.encode
+        ) * CT.SD_SCALING,
+        text_encode=lambda fr, ids: text.encode_with(fr["text"], ids),
+    )
+    term = CT.LossTerm("x", "ids", 1.0)
+    mini = {"x": jnp.zeros((2, 16, 16, 3)), "ids": jnp.zeros((2, 77), jnp.int32)}
+    rng = jax.random.PRNGKey(0)
+
+    as_args = jax.jit(
+        lambda p, fr: loss.term_loss(model.apply, p, mini, term, rng, fr)
+    ).lower(params, frozen).as_text()
+    closed = jax.jit(
+        lambda p: loss.term_loss(model.apply, p, mini, term, rng, frozen)
+    ).lower(params).as_text()
+    # tiny stack: ~49408x32 embedding table alone dominates the closed-over
+    # variant; the args variant must be at least 5x smaller
+    assert len(as_args) * 5 < len(closed), (len(as_args), len(closed))
+
+
 def test_published_caption_similarity_table():
     """The reference's published constants (measure.py:14-45) are vendored
     verbatim and keyed by (in-dist dataset, trigger)."""
