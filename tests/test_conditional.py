@@ -293,6 +293,81 @@ class TestSplitTermStep:
             )
 
 
+@pytest.mark.slow
+def test_conditional_fsdp_matches_dp():
+    """param_sharding='fsdp' (params + Adam moments sharded over the data
+    axis) must reproduce plain-DP numerics for BOTH step flavors, with at
+    least one param leaf actually sharded."""
+    from villandiffusion_tpu.models.vae import AutoencoderKLFlax
+    from villandiffusion_tpu.models.text import make_tiny_text_encoder
+    from villandiffusion_tpu.parallel import make_mesh
+    from villandiffusion_tpu.train import conditional as CT
+
+    mesh = make_mesh()
+    model = UNet2DCondition(UNet2DConditionConfig.tiny(lora_rank=2))
+    params = model.init_params(jax.random.PRNGKey(0))
+    text = make_tiny_text_encoder(hidden_size=32)
+    vae = AutoencoderKLFlax(
+        block_out_channels=(8, 16), layers_per_block=1, latent_channels=4
+    )
+    vae_params = jax.jit(vae.init)(jax.random.PRNGKey(1), jnp.zeros((1, 16, 16, 3)))
+    loss = CT.CondBackdoorLoss(
+        schedule=CT.sd_schedule(100),
+        vae_encode=lambda fr, x, rng: vae.apply(
+            fr["vae"], x, method=vae.encode
+        ) * CT.SD_SCALING,
+        text_encode=lambda fr, ids: text.encode_with(fr["text"], ids),
+    )
+
+    def trainer_for(sharding):
+        return CT.ConditionalTrainer(
+            unet_apply=model.apply, loss=loss,
+            terms=CT.caption_backdoor_terms(1.0),
+            optimizer=CT.make_lora_optimizer(
+                params, 1e-2, warmup_steps=1, total_steps=50
+            ),
+            mesh=mesh, frozen={"vae": vae_params, "text": text.params},
+            param_sharding=sharding, fsdp_min_size=0,
+        )
+
+    tok = CL.HashTokenizer(vocab_size=1024)
+    collate = CL.collate_fn_backdoor_gen(tok)
+    dsl = CL.CaptionDatasetLoader(
+        CL.FAKE_CAPTION, image_size=16, num_fake=8
+    ).set_poison(caption_trigger="TRIGGER_SKS", target="CORNER", poison_rate=0.5)
+    raw = collate(next(iter(dsl.get_dataloader(batch_size=8))))
+    batch = {
+        k: jnp.asarray(raw[k])
+        for k in (CL.RAW, CL.IMAGE, CL.CAPTION, CL.RAW_CAPTION)
+    }
+    rng = jax.random.PRNGKey(3)
+
+    finals = {}
+    for sharding in ("replicated", "fsdp"):
+        for flavor in ("mono", "split"):
+            tr = trainer_for(sharding)
+            st = tr.init_state(params)
+            if sharding == "fsdp" and flavor == "mono":
+                assert any(
+                    any(ax is not None for ax in leaf.sharding.spec)
+                    for leaf in jax.tree.leaves(st.params)
+                ), "no param leaf actually FSDP-sharded"
+            step = tr.make_step() if flavor == "mono" else tr.make_split_step()
+            for _ in range(2):
+                st, loss_v = step(st, batch, rng)
+            finals[(sharding, flavor)] = (
+                float(loss_v), jax.device_get(st.params)
+            )
+    ref_loss, ref_params = finals[("replicated", "mono")]
+    for key, (lv, ps) in finals.items():
+        assert lv == pytest.approx(ref_loss, rel=1e-5), key
+        for a, b in zip(jax.tree.leaves(ps), jax.tree.leaves(ref_params)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6,
+                err_msg=str(key),
+            )
+
+
 def test_frozen_params_are_arguments_not_hlo_constants():
     """Regression guard for the compile-payload fix: the train step must
     receive frozen VAE/text params as jit ARGUMENTS.  Closing over them

@@ -110,6 +110,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "required for SD-512 two-term training on compile-"
                         "constrained paths, and halves peak activation "
                         "memory)")
+    p.add_argument("--fsdp", action="store_true", default=False,
+                   help="shard params + optimizer state over the data axis "
+                        "(ZeRO-3) — for memory-bound full-finetune/SD-512 "
+                        "runs; numerics identical to DP")
     p.add_argument("--num_fake", type=int, default=32)
     return p
 
@@ -292,6 +296,7 @@ def train(args, stack: SDStack, out_dir: str) -> None:
         ),
         mesh=mesh,
         frozen=frozen,
+        param_sharding="fsdp" if args.fsdp else "replicated",
     )
     from villandiffusion_tpu.io.checkpoint import CheckpointManager
 

@@ -4,4 +4,6 @@ from villandiffusion_tpu.parallel.mesh import (  # noqa: F401
     replicate,
     data_sharding,
     replicated_sharding,
+    fsdp_spec,
+    fsdp_sharding,
 )

@@ -225,11 +225,29 @@ class ConditionalTrainer:
     # VAE + text-encoder params — threaded through the jitted steps as an
     # argument so they never become compiled-in constants
     frozen: object = None
+    # "replicated" (plain DP) | "fsdp" (ZeRO-3: params + Adam moments sharded
+    # over the data axis — SD-512 with fp32 optimizer state is memory-tight
+    # on a single chip, SURVEY.md §2 parallelism table)
+    param_sharding: str = "replicated"
+    fsdp_min_size: int = 2**16
+
+    def _state_shardings(self, params):
+        from villandiffusion_tpu import parallel as M
+
+        if self.param_sharding != "fsdp":
+            return M.replicated_sharding(self.mesh)
+        shapes = jax.eval_shape(
+            lambda p: TrainState(
+                step=jnp.zeros((), jnp.int32), params=p,
+                opt_state=self.optimizer.init(p),
+            ),
+            params,
+        )
+        return M.fsdp_sharding(self.mesh, shapes, min_size=self.fsdp_min_size)
 
     def init_state(self, params) -> TrainState:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        repl = NamedSharding(self.mesh, P())
+        state_sh = self._state_shardings(params)
+        self._state_sh = state_sh
 
         def make(p):
             return TrainState(
@@ -241,12 +259,25 @@ class ConditionalTrainer:
         # built under the SAME mesh/sharding context as the train step so
         # that the initial avals match the step outputs (otherwise the
         # second step call retraces+recompiles)
-        return jax.jit(make, out_shardings=repl)(params)
+        return jax.jit(make, out_shardings=state_sh)(params)
 
-    def make_step(self):
+    def _shardings(self):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         repl = NamedSharding(self.mesh, P())
+        if not hasattr(self, "_state_sh"):
+            if self.param_sharding == "fsdp":
+                raise RuntimeError("call init_state() before make_step() with FSDP")
+            self._state_sh = repl
+        state_sh = self._state_sh
+        # fsdp: a TrainState-shaped tree of shardings; DP: one NamedSharding
+        params_sh = (
+            state_sh.params if isinstance(state_sh, TrainState) else state_sh
+        )
+        return repl, state_sh, params_sh
+
+    def make_step(self):
+        repl, state_sh, _params_sh = self._shardings()
 
         def step_fn(state: TrainState, batch, rng, frozen):
             rng = jax.random.fold_in(rng, state.step)
@@ -269,8 +300,8 @@ class ConditionalTrainer:
         # pinned shardings: inferred shardings make the second call recompile
         jit_step = jax.jit(
             step_fn,
-            in_shardings=(repl, repl, repl, repl),
-            out_shardings=(repl, repl),
+            in_shardings=(state_sh, repl, repl, repl),
+            out_shardings=(state_sh, repl),
             donate_argnums=(0,),
         )
         return lambda state, batch, rng: jit_step(state, batch, rng, self.frozen)
@@ -293,9 +324,7 @@ class ConditionalTrainer:
         Returns a callable with make_step's exact signature
         ``(state, batch, rng) -> (state, loss)``.
         """
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        repl = NamedSharding(self.mesh, P())
+        repl, state_sh, params_sh = self._shardings()
 
         # structurally identical terms share ONE compiled graph: the term
         # index k, weight, and tensors are runtime data, so the canonical
@@ -315,10 +344,12 @@ class ConditionalTrainer:
                 loss, grads = jax.value_and_grad(loss_fn)(params)
                 return acc_loss + loss, jax.tree.map(jnp.add, acc_grads, grads)
 
+            # grads inherit the param sharding (FSDP: reduce-scattered)
             return jax.jit(
                 f,
-                in_shardings=(repl,) * 9,
-                out_shardings=(repl, repl),
+                in_shardings=(params_sh, repl, repl, repl, repl, repl, repl,
+                              repl, params_sh),
+                out_shardings=(repl, params_sh),
                 donate_argnums=(8,),
             )
 
@@ -330,7 +361,7 @@ class ConditionalTrainer:
             )
 
         zeros_jit = jax.jit(
-            zeros_fn, in_shardings=(repl,), out_shardings=(repl, repl)
+            zeros_fn, in_shardings=(params_sh,), out_shardings=(repl, params_sh)
         )
 
         def apply_fn(state: TrainState, loss, grads):
@@ -345,8 +376,8 @@ class ConditionalTrainer:
 
         apply_jit = jax.jit(
             apply_fn,
-            in_shardings=(repl, repl, repl),
-            out_shardings=(repl, repl),
+            in_shardings=(state_sh, repl, params_sh),
+            out_shardings=(state_sh, repl),
             donate_argnums=(0, 2),
         )
 
