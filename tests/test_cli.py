@@ -83,6 +83,23 @@ class TestSampling:
         assert os.path.exists(os.path.join(run_dir, "sampling.json"))
 
 
+class TestFSDPTrain:
+    def test_train_with_fsdp_flag(self, tmp_path):
+        """--fsdp trains end-to-end with params+opt state sharded over the
+        8-virtual-device mesh (ZeRO-3 product path)."""
+        res = tmp_path / "runs"
+        cli.main(
+            ["--mode", "train"] + COMMON + [
+                "--epoch", "1", "--fsdp", "--result", str(res), "--overwrite",
+            ]
+        )
+        (out,) = [d for d in os.listdir(res) if d.startswith("res_")]
+        with open(res / out / "metrics.jsonl") as f:
+            recs = [json.loads(l) for l in f]
+        losses = [r["loss"] for r in recs if "loss" in r]
+        assert losses and all(np.isfinite(losses))
+
+
 @pytest.mark.slow
 class TestMeasure:
     def test_measure_mode_writes_scores(self, run_dir):

@@ -116,6 +116,7 @@ def make_trainer(config: C.TrainingConfig, bundle: F.ModelBundle, steps_per_epoc
         optimizer=optimizer,
         mesh=mesh,
         compute_dtype=compute_dtype,
+        param_sharding="fsdp" if config.fsdp else "replicated",
         vae=bundle.vae,
         vae_encode="LATENT" not in config.dataset,
         # backdoor-removal semantics: supervise the CLEAN image reconstruction

@@ -57,7 +57,7 @@ MODE_SAMPLING_OPTS = [
     "inpaint_mul",
 ]
 MODE_MEASURE_OPTS = MODE_SAMPLING_OPTS
-IGNORE_ARGS = ["overwrite", "is_save_all_model_epochs", "R_trigger_only", "rm_backdoor"]
+IGNORE_ARGS = ["overwrite", "is_save_all_model_epochs", "R_trigger_only", "rm_backdoor", "fsdp"]
 
 ARGS_FILE = "args.json"
 CONFIG_FILE = "config.json"
@@ -110,6 +110,7 @@ class TrainingConfig:
     batch_32: int = 128
     batch_256: int = 64
     gradient_accumulation_steps: int = 1
+    fsdp: bool = False  # ZeRO-3: params+opt state sharded over the data axis
     learning_rate_32_scratch: float = 2e-4
     learning_rate_256_scratch: float = 2e-5
     lr_warmup_steps: int = 500
@@ -176,6 +177,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gpu", "-g", type=str)
     p.add_argument("--ckpt", "-c", type=str)
     p.add_argument("--overwrite", "-o", action="store_true", default=None)
+    p.add_argument("--fsdp", action="store_true", default=None,
+                   help="shard params + optimizer state over the data axis "
+                        "(ZeRO-3); numerics identical to DP")
     p.add_argument("--R_trigger_only", "-trigonly", action="store_true", default=None)
     p.add_argument("--rm_backdoor", action="store_true", default=None,
                    help="backdoor-removal fine-tuning (rm_backdoor_VillanDiffusion)")
