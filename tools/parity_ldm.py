@@ -1,0 +1,172 @@
+"""LDM latent-backdoor implant evidence on the real chip (`runs/parity_ldm`).
+
+Completes the per-family implant-evidence matrix (VP: runs/parity +
+parity_rto; VE: analytic PC test + runs/parity_ve*; conditional:
+runs/parity_cond*; LDM: THIS) at the real CompVis/ldm-celebahq-256
+ARCHITECTURE — 64x64x3-latent UNet + VQ-f4 layouts pinned by
+tests/golden/manifests/ldm_celebahq_256_*.json — with random-init weights
+(this box has no egress; the reference loads the pretrained twin,
+/root/reference/model.py:728-771).
+
+Protocol (the reference's canonical LDM run is `--dataset CELEBA-HQ-LATENT
+--sde_type SDE-LDM --sched UNIPC-SCHED --infer_steps 20 --poison_rate 0.9`,
+/root/reference/README.md:91, run through make_latent_dataset.py first):
+
+1. Build a latent store from FAKE256 through the seeded random-init VQ of
+   LDM-256-DEFAULT (`data/latent.py::build_latent_dataset`, the
+   make_latent_dataset.py replacement) — the product chain, not a shortcut.
+2. `--R_trigger_only` latent analogue: overwrite the trigger set's latents
+   with encode(trigger image) so the trained-in R equals the pattern the
+   sampler injects (`pipeline.encode(dsl.trigger)`,
+   /root/reference/VillanDiffusion.py:1054).  Training here is from scratch
+   (no pretrained prior), where the blitted-R <-> injected-trigger regime
+   gap dominates — see BASELINE.md's parity_rto analysis.
+3. Train+measure through the product CLI (`--mode train+measure`).
+4. Honest scoring under a random decoder: latent-space MSE of backdoor
+   samples vs encode(target) with a clean-noise control, plus the CLI's own
+   pixel-space protocol scores (bounded by decode quality — same argument as
+   tools/parity_cond.py).
+
+Usage:  python tools/parity_ldm.py [--n 2048] [--epochs 30] [--batch 16]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--n", type=int, default=2048)
+    p.add_argument("--epochs", type=int, default=30)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--poison_rate", type=float, default=0.9)
+    p.add_argument("--infer_steps", type=int, default=20)
+    p.add_argument("--measure_sample_n", type=int, default=1024)
+    p.add_argument("--eval_max_batch", type=int, default=128)
+    p.add_argument("--n_eval", type=int, default=256,
+                   help="sample count for the latent-space honest scoring")
+    p.add_argument("--result", default="runs/parity_ldm")
+    p.add_argument("--trigger", default="BOX_14")
+    p.add_argument("--target", default="HAT")
+    p.add_argument("--skip_train", action="store_true",
+                   help="reuse an existing run dir; only redo latent scoring")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from villandiffusion_tpu import cli
+    from villandiffusion_tpu import factory as F
+    from villandiffusion_tpu.core import poison as P
+    from villandiffusion_tpu.data.latent import build_latent_dataset
+    from villandiffusion_tpu.utils.jaxruntime import setup_jax_cache
+    from villandiffusion_tpu.utils.log import Log
+
+    setup_jax_cache()
+    os.makedirs(args.result, exist_ok=True)
+    latent_root = os.path.join(args.result, "latents")
+    os.environ["VILLAN_LATENT_ROOT"] = latent_root
+
+    # The factory seeds the VQ from PRNGKey(0): building the store and the
+    # CLI's later get_model_sched produce the SAME encoder.
+    bundle = F.get_model_sched(
+        image_size=256, channels=3, ckpt=F.LDM_256_DEFAULT,
+        sde_type="SDE-LDM", noise_sched_type="UNIPC-SCHED",
+    )
+    vae = bundle.vae
+    encode = jax.jit(vae.encode)
+
+    if not os.path.exists(os.path.join(latent_root, "meta.json")):
+        rng = np.random.default_rng(0)
+        base = rng.integers(0, 256, (args.n, 8, 8, 3), dtype=np.uint8)
+        # smooth 8->256 upsample keeps FAKE images compressible (structured),
+        # matching data/loader.py::_synthetic_images' intent at 256px without
+        # holding 2k raw 256px draws in RAM during generation
+        images = np.repeat(np.repeat(base, 32, axis=1), 32, axis=2)
+        Log.info(f"building latent store: {args.n} FAKE256 images -> {latent_root}")
+        build_latent_dataset(
+            images, vae, latent_root,
+            trigger_types=[args.trigger], target_types=[args.target],
+            batch_size=16,
+        )
+        # step 2: R_trigger_only in latent space
+        trig = P.get_trigger(args.trigger, 3, 256, -1.0, 1.0)
+        z_trig = np.asarray(encode(jnp.asarray(trig)[None]))[0]
+        tdir = os.path.join(latent_root, args.trigger)
+        for i in range(args.n):
+            np.save(os.path.join(tdir, f"{i}.npy"), z_trig)
+        Log.info("trigger-set latents overwritten with encode(trigger) "
+                 "(R_trigger_only latent analogue)")
+
+    if not args.skip_train:
+        cli.main([
+            "--mode", "train+measure", "--dataset", "CELEBA-HQ-LATENT",
+            "--ckpt", F.LDM_256_DEFAULT, "--sde_type", "SDE-LDM",
+            "--sched", "UNIPC-SCHED", "--infer_steps", str(args.infer_steps),
+            "--trigger", args.trigger, "--target", args.target,
+            "--poison_rate", str(args.poison_rate),
+            "--epoch", str(args.epochs), "--batch", str(args.batch),
+            "--eval_max_batch", str(args.eval_max_batch),
+            "--measure_sample_n", str(args.measure_sample_n),
+            "--eval_sample_n", "8",
+            "--result", args.result, "--overwrite",
+        ])
+
+    (run_dir,) = [
+        os.path.join(args.result, d)
+        for d in os.listdir(args.result)
+        if d.startswith("res_")
+    ]
+
+    # ---- step 4: latent-space honest scoring ------------------------------
+    config, params = F._load_params_any(run_dir)
+    from villandiffusion_tpu.models.unet2d import UNet2D
+
+    trained = F.ModelBundle(
+        model=UNet2D(config), params=params, schedule=bundle.schedule,
+        vae=vae, sde_type="SDE-LDM", sched_name="UNIPC-SCHED",
+        clip_sample=None,
+    )
+    pipe = trained.make_pipeline(compute_dtype=jnp.bfloat16)
+    n_eval = args.n_eval
+    trig = P.get_trigger(args.trigger, 3, 256, -1.0, 1.0)
+    tgt = P.get_target(args.target, trig, vmin=-1.0, vmax=1.0)
+    z_trig = encode(jnp.asarray(trig)[None])
+    z_tgt = np.asarray(encode(jnp.asarray(tgt)[None]))[0]
+
+    rng = jax.random.PRNGKey(7)
+    noise = jax.random.normal(
+        rng, (n_eval, pipe.sample_size, pipe.sample_size, pipe.in_channels)
+    )
+    z_bd = np.asarray(
+        pipe(init=noise + z_trig, num_inference_steps=args.infer_steps,
+             rng=rng, output_type="latent").images
+    )
+    z_clean = np.asarray(
+        pipe(init=noise, num_inference_steps=args.infer_steps,
+             rng=rng, output_type="latent").images
+    )
+    mse_bd = np.mean((z_bd - z_tgt) ** 2, axis=(1, 2, 3))
+    mse_clean = np.mean((z_clean - z_tgt) ** 2, axis=(1, 2, 3))
+    success = float(np.mean(mse_bd < mse_clean.mean() / 10.0))
+    out = {
+        "latent_mse_backdoor_vs_target": float(mse_bd.mean()),
+        "latent_mse_clean_vs_target": float(mse_clean.mean()),
+        "contrast": float(mse_clean.mean() / max(mse_bd.mean(), 1e-12)),
+        "latent_attack_success_lt_clean_mean_over_10": success,
+        "n_eval": n_eval,
+        "protocol": "R_trigger_only-latent, from-scratch LDM-256-DEFAULT",
+    }
+    with open(os.path.join(run_dir, "latent_scores.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    Log.info(f"latent scores: {json.dumps(out)}")
+
+
+if __name__ == "__main__":
+    main()

@@ -34,6 +34,7 @@ NCSNPP_256_DEFAULT = "NCSNPP-256-DEFAULT"
 DDPM_CIFAR10_DEFAULT = "DDPM-CIFAR10-DEFAULT"
 DDPM_CELEBA_HQ_DEFAULT = "DDPM-CELEBA-HQ-DEFAULT"
 NCSNPP_CIFAR10_DEFAULT = "NCSNPP-CIFAR10-DEFAULT"
+LDM_256_DEFAULT = "LDM-256-DEFAULT"
 
 DDPM_CIFAR10_32 = "DDPM-CIFAR10-32"
 DDPM_CELEBA_HQ_256 = "DDPM-CELEBA-HQ-256"
@@ -181,6 +182,22 @@ def get_model_sched(
         )
         model = UNet2D(fresh_cfg)
         params = model.init_params(rng)
+        return ModelBundle(
+            model=model, params=params, schedule=_schedule_for(sde_type),
+            vae=vae, sde_type=sde_type, sched_name=noise_sched_type,
+            clip_sample=clip_sample,
+        )
+    if ckpt == LDM_256_DEFAULT:
+        # fresh (random-init) CompVis/ldm-celebahq-256 ARCHITECTURE: the real
+        # 64x64x3-latent UNet + VQ-f4 layouts (pinned by
+        # tests/golden/manifests/ldm_celebahq_256_{unet,vqvae}.json) for
+        # from-scratch latent-backdoor training in no-weights environments
+        # (/root/reference/model.py:728-771 loads the pretrained twin)
+        from villandiffusion_tpu.models.vae import make_random_vq
+
+        model = UNet2D(UNet2DConfig.ldm_celebahq_unet())
+        params = model.init_params(rng)
+        vae = make_random_vq(rng=jax.random.fold_in(rng, 1), sample_size=256)
         return ModelBundle(
             model=model, params=params, schedule=_schedule_for(sde_type),
             vae=vae, sde_type=sde_type, sched_name=noise_sched_type,

@@ -245,9 +245,9 @@ class VAEBundle:
 
 def make_random_vq(rng=None, **kwargs) -> VAEBundle:
     """Random-init VQModel (tests / no-weights envs)."""
+    size = kwargs.pop("sample_size", 64)
     model = VQModelFlax(**kwargs)
     rng = rng if rng is not None else jax.random.PRNGKey(0)
-    size = kwargs.get("sample_size", 64)
     x = jnp.zeros((1, size, size, model.in_channels))
     params = jax.jit(lambda r, xx: model.init(r, xx))(rng, x)
     return VAEBundle(model=model, params=params)
