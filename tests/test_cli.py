@@ -256,3 +256,21 @@ class TestInpaintScoringTargets:
         orig01 = np.clip(np.asarray(tail["image"]) / 2.0 + 0.5, 0.0, 1.0)
         expect = float(np.mean((out01[None] - orig01) ** 2))
         assert mse == pytest.approx(expect, rel=1e-4)
+
+
+class TestEvalDtypePolicy:
+    """Sampling/measure pipelines follow the train-time AMP policy: bf16 for
+    VP/LDM, fp32 for VE (config.py derives it as VillanDiffusion.py:260-264
+    picks fp16/no) — the eval path must not silently fall back to fp32, which
+    halves MXU throughput on every BASELINE.md sampling row."""
+
+    def test_policy(self):
+        import jax.numpy as jnp
+
+        from villandiffusion_tpu import config as C
+
+        cfg = C.TrainingConfig()
+        cfg.mixed_precision = "bf16"
+        assert cli._eval_dtype(cfg) == jnp.bfloat16
+        cfg.mixed_precision = "no"
+        assert cli._eval_dtype(cfg) is None

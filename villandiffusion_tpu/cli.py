@@ -93,6 +93,15 @@ def build_bundle(config: C.TrainingConfig, dsl: L.DatasetLoader, for_eval: bool)
     return bundle
 
 
+def _eval_dtype(config: C.TrainingConfig):
+    """Sampling/measure pipelines follow the train-time mixed-precision
+    policy (bf16 for VP/LDM, fp32 for VE — config.py derives it exactly as
+    /root/reference/VillanDiffusion.py:260-264 picks fp16/no).  bf16 eval is
+    ~2x the fp32 throughput on the MXU and is the precision every BASELINE.md
+    sampling number is quoted at; ``None`` keeps fp32 params untouched."""
+    return jnp.bfloat16 if config.mixed_precision == "bf16" else None
+
+
 def make_trainer(config: C.TrainingConfig, bundle: F.ModelBundle, steps_per_epoch: int):
     mesh = make_mesh()
     total = max(steps_per_epoch * config.epoch, 1)
@@ -425,7 +434,10 @@ def train_loop(
             save_model_dir(ep_dir, bundle.model.config, state.params)
 
     def do_sampling(tag) -> None:
-        pipe = bundle.make_pipeline(params=state.params, clip=config.clip, mesh=mesh)
+        pipe = bundle.make_pipeline(
+            params=state.params, clip=config.clip, mesh=mesh,
+            compute_dtype=_eval_dtype(config),
+        )
         try:
             sampling(config, tag, pipe, dsl)
         except NotImplementedError as e:
@@ -523,18 +535,22 @@ def main(argv=None) -> Dict:
         bundle = build_bundle(config, dsl, for_eval=False)
         train_loop(config, dsl, bundle)
         if config.mode == C.MODE_TRAIN_MEASURE:
-            pipe = bundle.make_pipeline(clip=config.clip, mesh=mesh)
+            pipe = bundle.make_pipeline(
+                clip=config.clip, mesh=mesh, compute_dtype=_eval_dtype(config)
+            )
             scores = measure(config, dsl, pipe)
     elif config.mode == C.MODE_SAMPLING:
         bundle = build_bundle(config, dsl, for_eval=True)
         pipe = bundle.make_pipeline(
-            clip=config.clip, ddim_eta=config.ddim_eta, mesh=mesh
+            clip=config.clip, ddim_eta=config.ddim_eta, mesh=mesh,
+            compute_dtype=_eval_dtype(config),
         )
         sampling(config, "sampling", pipe, dsl)
     elif config.mode == C.MODE_MEASURE:
         bundle = build_bundle(config, dsl, for_eval=True)
         pipe = bundle.make_pipeline(
-            clip=config.clip, ddim_eta=config.ddim_eta, mesh=mesh
+            clip=config.clip, ddim_eta=config.ddim_eta, mesh=mesh,
+            compute_dtype=_eval_dtype(config),
         )
         scores = measure(config, dsl, pipe)
     else:
