@@ -100,6 +100,7 @@ class TestConditionalCLI:
                 ]
             )
 
+    @pytest.mark.slow  # ~50 s e2e cycle; keeps the fast gate under 8 min
     def test_resume_restores_full_train_state(self, tmp_path):
         """--resume_from_checkpoint latest restores params + optimizer state
         + step from the orbax checkpoint (the reference's

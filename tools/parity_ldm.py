@@ -82,7 +82,13 @@ def main() -> None:
     vae = bundle.vae
     encode = jax.jit(vae.encode)
 
-    if not os.path.exists(os.path.join(latent_root, "meta.json")):
+    # Keyed on a sentinel written AFTER the trigger-latent overwrite, not on
+    # meta.json: build_latent_dataset writes meta.json before the overwrite
+    # loop, so an interrupt in that window must force a rebuild rather than
+    # silently skipping step 2 (a standard blitted-R run would otherwise be
+    # mislabeled as the R_trigger_only protocol).
+    rto_sentinel = os.path.join(latent_root, "rto_done")
+    if not os.path.exists(rto_sentinel):
         rng = np.random.default_rng(0)
         base = rng.integers(0, 256, (args.n, 8, 8, 3), dtype=np.uint8)
         # smooth 8->256 upsample keeps FAKE images compressible (structured),
@@ -101,6 +107,8 @@ def main() -> None:
         tdir = os.path.join(latent_root, args.trigger)
         for i in range(args.n):
             np.save(os.path.join(tdir, f"{i}.npy"), z_trig)
+        with open(rto_sentinel, "w") as f:
+            f.write("trigger-set latents overwritten with encode(trigger)\n")
         Log.info("trigger-set latents overwritten with encode(trigger) "
                  "(R_trigger_only latent analogue)")
 
@@ -118,11 +126,19 @@ def main() -> None:
             "--result", args.result, "--overwrite",
         ])
 
-    (run_dir,) = [
-        os.path.join(args.result, d)
-        for d in os.listdir(args.result)
-        if d.startswith("res_")
-    ]
+    # Run-dir names encode hyperparams, so reruns with different --epochs /
+    # --poison_rate accumulate siblings; pick the dir matching this config
+    # and fail with the candidate list otherwise.
+    candidates = [d for d in os.listdir(args.result) if d.startswith("res_")]
+    want = (f"_ep{args.epochs}_", f"_p{args.poison_rate}_",
+            f"_{args.trigger}-{args.target}_")
+    matching = [d for d in candidates if all(w in d for w in want)]
+    if len(matching) != 1:
+        raise SystemExit(
+            f"expected exactly one res_ dir matching {want} under "
+            f"{args.result}; found {matching or candidates}"
+        )
+    run_dir = os.path.join(args.result, matching[0])
 
     # ---- step 4: latent-space honest scoring ------------------------------
     config, params = F._load_params_any(run_dir)

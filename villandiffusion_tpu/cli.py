@@ -93,13 +93,27 @@ def build_bundle(config: C.TrainingConfig, dsl: L.DatasetLoader, for_eval: bool)
     return bundle
 
 
+def _train_dtype(config: C.TrainingConfig):
+    """The single mixed-precision policy: bf16 compute for VP/LDM, fp32 for
+    VE — config.py derives mixed_precision exactly as
+    /root/reference/VillanDiffusion.py:260-264 picks fp16/no."""
+    return jnp.bfloat16 if config.mixed_precision == "bf16" else jnp.float32
+
+
 def _eval_dtype(config: C.TrainingConfig):
-    """Sampling/measure pipelines follow the train-time mixed-precision
-    policy (bf16 for VP/LDM, fp32 for VE — config.py derives it exactly as
-    /root/reference/VillanDiffusion.py:260-264 picks fp16/no).  bf16 eval is
-    ~2x the fp32 throughput on the MXU and is the precision every BASELINE.md
-    sampling number is quoted at; ``None`` keeps fp32 params untouched."""
-    return jnp.bfloat16 if config.mixed_precision == "bf16" else None
+    """Sampling/measure pipelines follow the train-time policy by default.
+    bf16 eval is ~2x the fp32 throughput on the MXU and is the precision
+    every BASELINE.md sampling number is quoted at; ``None`` keeps fp32
+    params untouched.
+
+    The reference samples with the UNWRAPPED fp32 model even when training
+    fp16 (accelerate keeps fp32 master weights, no autocast at inference —
+    /root/reference/model.py:591-596), so reference-parity measurement runs
+    can force fp32 eval with VILLAN_EVAL_FP32=1 (see PARITY.md)."""
+    if os.environ.get("VILLAN_EVAL_FP32"):
+        return None
+    dt = _train_dtype(config)
+    return None if dt is jnp.float32 else dt
 
 
 def make_trainer(config: C.TrainingConfig, bundle: F.ModelBundle, steps_per_epoch: int):
@@ -111,7 +125,7 @@ def make_trainer(config: C.TrainingConfig, bundle: F.ModelBundle, steps_per_epoc
         total_steps=total,
         gradient_accumulation_steps=config.gradient_accumulation_steps,
     )
-    compute_dtype = jnp.bfloat16 if config.mixed_precision == "bf16" else jnp.float32
+    compute_dtype = _train_dtype(config)
     trainer = Trainer(
         apply_fn=bundle.apply_fn,
         loss_fn=BackdoorLoss(

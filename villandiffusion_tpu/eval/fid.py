@@ -114,6 +114,73 @@ def fid_from_arrays(
     return frechet_distance(*activation_statistics(acts_a), *activation_statistics(acts_b))
 
 
+def corrupt_images(images: np.ndarray, kind: str, seed: int = 0) -> np.ndarray:
+    """Deliberately degrade a sample set for the FID regression control.
+
+    kinds: 'noise' (additive gaussian, sigma=0.1 of range), 'blur' (3 passes
+    of a 3x3 box filter), 'collapse' (mode collapse: every image becomes the
+    first one, with per-pixel jitter to keep the activation covariance
+    non-singular).
+    """
+    rng = np.random.default_rng(seed)
+    x = images.astype(np.float32)
+    if images.dtype == np.uint8:
+        x = x / 255.0
+    if kind == "noise":
+        y = x + rng.normal(0.0, 0.1, x.shape).astype(np.float32)
+    elif kind == "blur":
+        y = x
+        for _ in range(3):
+            p = np.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+            y = sum(
+                p[:, 1 + di : p.shape[1] - 1 + di, 1 + dj : p.shape[2] - 1 + dj]
+                for di in (-1, 0, 1)
+                for dj in (-1, 0, 1)
+            ) / 9.0
+    elif kind == "collapse":
+        y = np.broadcast_to(x[:1], x.shape) + rng.normal(
+            0.0, 0.01, x.shape
+        ).astype(np.float32)
+    else:
+        raise ValueError(f"unknown corruption kind: {kind}")
+    y = np.clip(y, 0.0, 1.0)
+    if images.dtype == np.uint8:
+        return (y * 255.0).round().astype(np.uint8)
+    return y
+
+
+def fid_regression_control(
+    images: np.ndarray,
+    batch_size: int = 64,
+    weights_path: Optional[str] = None,
+    kinds: Tuple[str, ...] = ("noise", "blur", "collapse"),
+) -> dict:
+    """Calibrate what the (possibly random-init) FID backbone can detect.
+
+    Splits ``images`` into two halves; the same-distribution FID between the
+    halves is the noise floor, and the FID between the first half and each
+    corruption of the second half shows the scale a real quality regression
+    registers at.  Offline (random-init backbone) runs report FIDs that are
+    only meaningful relative to this control: a run's FID is a regression
+    signal when it moves toward the corruption scale, not the floor.
+
+    Returns {'floor', '<kind>': fid, '<kind>_over_floor': ratio, ...}.
+    """
+    n = len(images) // 2
+    a, b = images[:n], images[n : 2 * n]
+    acts_a, _ = get_activations(a, batch_size, weights_path)
+    stats_a = activation_statistics(acts_a)
+    acts_b, _ = get_activations(b, batch_size, weights_path)
+    floor = frechet_distance(*stats_a, *activation_statistics(acts_b))
+    out = {"floor": floor, "n_per_side": n}
+    for kind in kinds:
+        acts_c, _ = get_activations(corrupt_images(b, kind), batch_size, weights_path)
+        val = frechet_distance(*stats_a, *activation_statistics(acts_c))
+        out[kind] = val
+        out[f"{kind}_over_floor"] = val / max(floor, 1e-30)
+    return out
+
+
 def _load_image_dir(path: str, limit: Optional[int] = None) -> np.ndarray:
     from PIL import Image
 
