@@ -75,6 +75,103 @@ def test_gradients_flow_through_custom_vjp():
     np.testing.assert_allclose(np.asarray(gw), np.asarray(rw), atol=1e-5)
 
 
+def _interp_resblock(x, t, s1, b1, w1, c1b, s2, b2, w2, c2b, scw, scb,
+                     groups, eps, out_scale):
+    from unittest import mock
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+    with mock.patch.object(
+        pl, "pallas_call", functools.partial(orig, interpret=True)
+    ):
+        return FC._pallas_resblock.__wrapped__(
+            x, t, s1, b1, w1, c1b, s2, b2, w2, c2b, scw, scb,
+            groups, eps, out_scale)
+
+
+@pytest.mark.parametrize("C,Co,shortcut", [(32, 32, False), (32, 64, True)])
+def test_resblock_kernel_matches_xla(C, Co, shortcut):
+    rng = np.random.default_rng(3)
+    G = 8
+    x = jnp.asarray(rng.standard_normal((4, 8, 8, C)), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((4, Co)), jnp.float32)
+    s1 = jnp.asarray(rng.standard_normal(C), jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal(C), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((3, 3, C, Co)) * 0.1, jnp.float32)
+    c1b = jnp.asarray(rng.standard_normal(Co) * 0.1, jnp.float32)
+    s2 = jnp.asarray(rng.standard_normal(Co), jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal(Co), jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((3, 3, Co, Co)) * 0.1, jnp.float32)
+    c2b = jnp.asarray(rng.standard_normal(Co) * 0.1, jnp.float32)
+    if shortcut:
+        scw = jnp.asarray(rng.standard_normal((1, 1, C, Co)) * 0.1, jnp.float32)
+        scb = jnp.asarray(rng.standard_normal(Co) * 0.1, jnp.float32)
+        scw_k = scw.reshape(C, Co)
+    else:
+        scw = scb = scw_k = None
+    ref = FC.xla_resblock(x, t, s1, b1, w1, c1b, s2, b2, w2, c2b,
+                          scw, scb, G, 1e-6, 2.0)
+    out = _interp_resblock(x, t, s1, b1, w1, c1b, s2, b2, w2, c2b,
+                           scw_k, scb, G, 1e-6, 2.0)
+    # kernel normalizes+casts to bf16 before the MXU matmuls
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-2, rtol=1e-2)
+
+
+def test_xla_resblock_matches_model_resnetblock():
+    """xla_resblock must compose EXACTLY like models/unet2d.py::ResnetBlock
+    (the fused kernel's correctness target)."""
+    from villandiffusion_tpu.models.unet2d import ResnetBlock
+
+    rng = np.random.default_rng(4)
+    C, Co, G = 32, 64, 8
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, C)), jnp.float32)
+    temb = jnp.asarray(rng.standard_normal((2, 48)), jnp.float32)
+    blk = ResnetBlock(out_channels=Co, groups=G, eps=1e-6,
+                      output_scale_factor=2.0)
+    params = blk.init(jax.random.PRNGKey(1), x, temb)
+    ref = blk.apply(params, x, temb)
+
+    import flax.linen as nn
+
+    p = params["params"]
+    t = nn.silu(temb) @ p["time_emb_proj"]["kernel"] + p["time_emb_proj"]["bias"]
+    out = FC.xla_resblock(
+        x, t,
+        p["norm1"]["scale"], p["norm1"]["bias"],
+        p["conv1"]["kernel"], p["conv1"]["bias"],
+        p["norm2"]["scale"], p["norm2"]["bias"],
+        p["conv2"]["kernel"], p["conv2"]["bias"],
+        p["conv_shortcut"]["kernel"], p["conv_shortcut"]["bias"],
+        G, 1e-6, 2.0,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_resblock_gradients_flow_through_custom_vjp():
+    rng = np.random.default_rng(5)
+    C, G = 16, 4
+    x = jnp.asarray(rng.standard_normal((2, 4, 4, C)), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((2, C)), jnp.float32)
+    s1 = jnp.ones(C); b1 = jnp.zeros(C)
+    w1 = jnp.asarray(rng.standard_normal((3, 3, C, C)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((3, 3, C, C)) * 0.1, jnp.float32)
+    zb = jnp.zeros(C)
+
+    def f(x, w1, w2):
+        return (FC.resblock_fused(x, t, s1, b1, w1, zb, s1, b1, w2, zb,
+                                  None, None, G, 1e-6, 1.0) ** 2).sum()
+
+    def fr(x, w1, w2):
+        return (FC.xla_resblock(x, t, s1, b1, w1, zb, s1, b1, w2, zb,
+                                None, None, G, 1e-6, 1.0) ** 2).sum()
+
+    g = jax.grad(f, argnums=(0, 1, 2))(x, w1, w2)
+    r = jax.grad(fr, argnums=(0, 1, 2))(x, w1, w2)
+    for a, b in zip(g, r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_resnet_param_tree_identical_between_paths(monkeypatch):
     """The fused and unfused ResnetBlock paths must produce the same params."""
     from villandiffusion_tpu.models.unet2d import ResnetBlock

@@ -148,6 +148,12 @@ class TestLatentCLI:
         assert any(k.startswith("MSE") for k in scores)
         (out,) = [d for d in os.listdir(res) if d.startswith("res_")]
         assert os.path.exists(os.path.join(res, out, "score.json"))
+        # the run dir persists its own vqvae/ (reference save_pretrained
+        # layout, VillanDiffusion.py:1109) so resume/sampling on the run
+        # dir rebuild the pipeline without the factory ckpt
+        run_dir = os.path.join(res, out)
+        assert os.path.exists(os.path.join(run_dir, "vqvae", "params.msgpack"))
+        cli.main(["--mode", "resume", "--ckpt", run_dir])
 
     def test_latent_loader_contract(self, tmp_path, monkeypatch):
         from villandiffusion_tpu.data import loader as L
@@ -181,6 +187,52 @@ class TestLatentCLI:
 
 
 @pytest.mark.slow
+class TestVAEPersistence:
+    """save_vae_dir/load_vae_dir: the framework-native vqvae/ export that
+    makes LDM run dirs self-contained (reference: pipeline.save_pretrained
+    writes unet/ + vqvae/, VillanDiffusion.py:1109)."""
+
+    def test_vq_roundtrip(self, tmp_path):
+        from villandiffusion_tpu.models.vae import load_vae_dir, save_vae_dir
+
+        vq = make_random_vq(sample_size=16, block_out_channels=(8, 16),
+                            num_vq_embeddings=32)
+        save_vae_dir(str(tmp_path), vq)
+        rt = load_vae_dir(str(tmp_path / "vqvae"))
+        assert type(rt.model).__name__ == "VQModelFlax"
+        assert rt.model.block_out_channels == (8, 16)
+        for a, b in zip(jax.tree.leaves(vq.params), jax.tree.leaves(rt.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        x = jnp.zeros((1, 16, 16, 3))
+        np.testing.assert_array_equal(
+            np.asarray(vq.encode(x)), np.asarray(rt.encode(x)))
+
+    def test_kl_roundtrip_keeps_scaling_factor(self, tmp_path):
+        from villandiffusion_tpu.models.vae import (
+            VAEBundle, load_vae_dir, save_vae_dir)
+
+        model = AutoencoderKLFlax(block_out_channels=(8, 16), latent_channels=4)
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+        kl = VAEBundle(model=model, params=params, scaling_factor=0.18215)
+        save_vae_dir(str(tmp_path), kl)
+        rt = load_vae_dir(str(tmp_path / "vqvae"))
+        assert type(rt.model).__name__ == "AutoencoderKLFlax"
+        assert rt.scaling_factor == pytest.approx(0.18215)
+
+    def test_load_vae_for_prefers_run_dir(self, tmp_path, monkeypatch):
+        from villandiffusion_tpu.models.vae import load_vae_for, save_vae_dir
+
+        vq = make_random_vq(sample_size=16, block_out_channels=(8, 16),
+                            num_vq_embeddings=32)
+        run = tmp_path / "res_fake"
+        run.mkdir()
+        save_vae_dir(str(run), vq)
+        rt = load_vae_for(str(run))
+        assert rt.model.block_out_channels == (8, 16)
+        with pytest.raises(FileNotFoundError):
+            load_vae_for(str(tmp_path / "missing"))
+
+
 class TestBackdoorRemoval:
     def test_rm_backdoor_trains_on_clean_images(self, tmp_path):
         from villandiffusion_tpu import cli

@@ -443,6 +443,13 @@ def train_loop(
     def save_everything(epoch: int) -> None:
         ckpt_mgr.save(int(state.step), state, extra={"epoch": epoch})
         save_model_dir(config.output_dir, bundle.model.config, state.params)
+        if bundle.vae is not None:
+            # the reference persists the LDM vqvae/ next to unet/
+            # (pipeline.save_pretrained, VillanDiffusion.py:1109) — without
+            # it, resume/sampling on the run dir cannot rebuild the pipeline
+            from villandiffusion_tpu.models.vae import save_vae_dir
+
+            save_vae_dir(config.output_dir, bundle.vae)
         if config.is_save_all_model_epochs:
             ep_dir = os.path.join(config.output_dir, config.ep_model_dir, f"ep{epoch}")
             save_model_dir(ep_dir, bundle.model.config, state.params)

@@ -253,19 +253,75 @@ def make_random_vq(rng=None, **kwargs) -> VAEBundle:
     return VAEBundle(model=model, params=params)
 
 
+def save_vae_dir(out_dir: str, bundle: VAEBundle) -> None:
+    """Write <out_dir>/vqvae/{config.json, params.msgpack} (framework-native
+    layout).  The reference's ``pipeline.save_pretrained`` persists the LDM
+    run's ``vqvae/`` next to ``unet/`` (/root/reference/VillanDiffusion.py:
+    1109), which is what makes ``--mode resume``/``sampling`` on an LDM run
+    dir self-contained — mirror that here."""
+    import json
+    import os
+
+    from flax import serialization
+
+    vq_dir = os.path.join(out_dir, "vqvae")
+    os.makedirs(vq_dir, exist_ok=True)
+    model = bundle.model
+    cfg = {"_class": type(model).__name__,
+           "scaling_factor": bundle.scaling_factor}
+    for field in ("block_out_channels", "layers_per_block", "in_channels",
+                  "out_channels", "latent_channels", "num_vq_embeddings"):
+        if hasattr(model, field):
+            val = getattr(model, field)
+            cfg[field] = list(val) if isinstance(val, tuple) else val
+    with open(os.path.join(vq_dir, "config.json"), "w") as f:
+        json.dump(cfg, f, indent=2)
+    params_host = jax.tree.map(np.asarray, bundle.params)
+    with open(os.path.join(vq_dir, "params.msgpack"), "wb") as f:
+        f.write(serialization.to_bytes(params_host))
+
+
+def load_vae_dir(vq_dir: str) -> VAEBundle:
+    """Read a save_vae_dir export back into a VAEBundle."""
+    import json
+    import os
+
+    from flax import serialization
+
+    with open(os.path.join(vq_dir, "config.json")) as f:
+        cfg = json.load(f)
+    cls = {"VQModelFlax": VQModelFlax,
+           "AutoencoderKLFlax": AutoencoderKLFlax}[cfg.pop("_class")]
+    scaling = cfg.pop("scaling_factor", 1.0)
+    if "block_out_channels" in cfg:
+        cfg["block_out_channels"] = tuple(cfg["block_out_channels"])
+    model = cls(**cfg)
+    with open(os.path.join(vq_dir, "params.msgpack"), "rb") as f:
+        params = serialization.msgpack_restore(bytearray(f.read()))
+    return VAEBundle(model=model, params=params, scaling_factor=scaling)
+
+
 def load_vae_for(ckpt: str):
-    """Resolve the VAE for an LDM checkpoint name; local weights only."""
+    """Resolve the VAE for an LDM checkpoint name; local weights only.
+
+    Resolution order: (1) a framework run dir's own ``vqvae/`` export
+    (save_vae_dir layout), (2) a local diffusers torch checkpoint under
+    $VILLAN_PRETRAINED.  No network access in this env."""
     import os
 
     from villandiffusion_tpu.factory import PRETRAINED_ENV, HUB_IDS
 
+    run_cand = os.path.join(ckpt, "vqvae")
+    if os.path.exists(os.path.join(run_cand, "params.msgpack")):
+        return load_vae_dir(run_cand)
     root = os.environ.get(PRETRAINED_ENV, "pretrained")
     cand = os.path.join(root, HUB_IDS.get(ckpt, ckpt), "vqvae")
     if os.path.isdir(cand):
         return load_vq_checkpoint(cand)
     raise FileNotFoundError(
-        f"No local VQ-VAE weights under {cand!r}; SDE-LDM needs the vqvae/ "
-        "directory of the LDM checkpoint (no network access in this env)."
+        f"No local VQ-VAE weights under {run_cand!r} or {cand!r}; SDE-LDM "
+        "needs the vqvae/ directory of the LDM checkpoint (no network "
+        "access in this env)."
     )
 
 
