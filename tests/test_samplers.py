@@ -196,3 +196,89 @@ class TestLatentOutput:
         img = pipe(batch_size=1, num_inference_steps=20, rng=rng)
         assert np.allclose(np.asarray(lat.images), C_VAL, atol=2e-2)
         assert np.allclose(np.asarray(img.images), C_VAL / 2 + 0.5, atol=1e-2)
+
+
+class TestChunkedDispatch:
+    """VILLAN_SCAN_CHUNK=K splits the denoise scan into K-step device
+    dispatches (tunnel-survivable segments for long ladders, e.g. VE
+    PC-1000).  Must be BIT-IDENTICAL to the monolithic scan: same rng
+    threading, same carry state, same movie frames."""
+
+    @pytest.mark.parametrize("sampler_kw", [
+        (DDPMSampler, {}),
+        (DDIMSampler, {"eta": 0.7}),
+    ])
+    def test_chunked_equals_monolithic(self, sampler_kw, monkeypatch):
+        cls, kw = sampler_kw
+        pipe = make_pipeline(cls, **kw)
+        rng = jax.random.PRNGKey(3)
+        init = jax.random.normal(jax.random.PRNGKey(4), (2, 8, 8, 3))
+        monkeypatch.delenv("VILLAN_SCAN_CHUNK", raising=False)
+        mono = pipe(init=init, num_inference_steps=10, rng=rng)
+        monkeypatch.setenv("VILLAN_SCAN_CHUNK", "3")  # 3+3+3+1 segments
+        chunked = pipe(init=init, num_inference_steps=10, rng=rng)
+        np.testing.assert_array_equal(chunked.images, mono.images)
+
+    def test_chunked_multistep_carry(self, monkeypatch):
+        """Multistep solvers carry history buffers across segments."""
+        from villandiffusion_tpu.samplers.multistep import make_sampler
+
+        sched = S.VPSchedule.create()
+        sampler = make_sampler("DPM_SOLVER_PP_O2-SCHED", sched, None)
+        pipe = DiffusionPipeline(
+            apply_fn=oracle_apply(sched), params={}, sampler=sampler,
+            sample_size=8, channels=3,
+        )
+        rng = jax.random.PRNGKey(5)
+        init = jax.random.normal(jax.random.PRNGKey(6), (2, 8, 8, 3))
+        monkeypatch.delenv("VILLAN_SCAN_CHUNK", raising=False)
+        mono = pipe(init=init, num_inference_steps=12, rng=rng)
+        monkeypatch.setenv("VILLAN_SCAN_CHUNK", "5")
+        chunked = pipe(init=init, num_inference_steps=12, rng=rng)
+        np.testing.assert_array_equal(chunked.images, mono.images)
+
+    def test_chunked_ve_pc(self, monkeypatch):
+        """VE predictor-corrector (the motivating ladder) chunked == mono."""
+        from villandiffusion_tpu.samplers.ve import ScoreSdeVeSampler
+
+        sched = S.VESchedule.create(timesteps=50)
+        sampler = ScoreSdeVeSampler(schedule=sched)
+        pipe = DiffusionPipeline(
+            apply_fn=lambda p, x, s: -x / (s.reshape((-1,) + (1,) * (x.ndim - 1)) ** 2 + 1.0),
+            params={}, sampler=sampler, sample_size=8, channels=3,
+            output_map="ve",
+        )
+        rng = jax.random.PRNGKey(7)
+        init = jax.random.normal(jax.random.PRNGKey(8), (2, 8, 8, 3))
+        monkeypatch.delenv("VILLAN_SCAN_CHUNK", raising=False)
+        mono = pipe(init=init, num_inference_steps=20, rng=rng)
+        monkeypatch.setenv("VILLAN_SCAN_CHUNK", "7")
+        chunked = pipe(init=init, num_inference_steps=20, rng=rng)
+        np.testing.assert_array_equal(chunked.images, mono.images)
+
+    def test_chunked_movie_and_start_from(self, monkeypatch):
+        pipe = make_pipeline(DDIMSampler)
+        rng = jax.random.PRNGKey(9)
+        init = jax.random.normal(jax.random.PRNGKey(10), (1, 8, 8, 3))
+        monkeypatch.delenv("VILLAN_SCAN_CHUNK", raising=False)
+        mono = pipe(init=init, num_inference_steps=10, start_from=2,
+                    rng=rng, save_every_step=True, movie_capture="first")
+        monkeypatch.setenv("VILLAN_SCAN_CHUNK", "4")
+        chunked = pipe(init=init, num_inference_steps=10, start_from=2,
+                       rng=rng, save_every_step=True, movie_capture="first")
+        np.testing.assert_array_equal(chunked.images, mono.images)
+        np.testing.assert_array_equal(chunked.movie[0], mono.movie[0])
+
+    def test_chunked_movie_all_concat(self, monkeypatch):
+        pipe = make_pipeline(DDIMSampler)
+        rng = jax.random.PRNGKey(11)
+        init = jax.random.normal(jax.random.PRNGKey(12), (1, 8, 8, 3))
+        monkeypatch.delenv("VILLAN_SCAN_CHUNK", raising=False)
+        mono = pipe(init=init, num_inference_steps=9, rng=rng,
+                    save_every_step=True)
+        monkeypatch.setenv("VILLAN_SCAN_CHUNK", "4")
+        chunked = pipe(init=init, num_inference_steps=9, rng=rng,
+                       save_every_step=True)
+        assert len(chunked.movie) == len(mono.movie)
+        for a, b in zip(chunked.movie, mono.movie):
+            np.testing.assert_array_equal(a, b)

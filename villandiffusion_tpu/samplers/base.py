@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Any, Callable, Optional, Tuple
 
 import jax
@@ -217,6 +218,110 @@ class DiffusionPipeline:
 
         return jax.jit(run)
 
+    @functools.lru_cache(maxsize=32)
+    def _compiled_segment(
+        self,
+        num_inference_steps: int,
+        seg_len: int,
+        movie: str,
+        eta: Optional[float],
+    ):
+        """One ``seg_len``-iteration slice of the denoise scan, for chunked
+        dispatch (VILLAN_SCAN_CHUNK): the tunneled-TPU transport drops
+        dispatches that stay on-device for multiple minutes, so long ladders
+        (VE PC-1000 = 2000 UNet evals) are split into sub-minute segments
+        with the full scan state (x, sampler carry, rng key, first-frame
+        slot) carried across host round-trips.  The global iteration indices
+        arrive as a TRACED (seg_len,) array, so every full segment reuses ONE
+        compiled program regardless of its position in the ladder; rng is
+        split exactly as the monolithic scan does, making chunked == unchunked
+        bit-for-bit (pinned by tests/test_samplers.py)."""
+        sampler = self.sampler
+        if eta is not None and hasattr(sampler, "eta"):
+            sampler = dataclasses.replace(sampler, eta=eta)
+
+        def run_seg(packed, x, carry, key, first, idxs, first_i):
+            params, vae_params = packed
+
+            def body(state, i):
+                x, carry, key, first = state
+                key, sub = jax.random.split(key)
+
+                def eval_model(xx, ii):
+                    cond = sampler.cond(ii, xx.shape[0], num_inference_steps)
+                    return self.apply_fn(params, xx, cond)
+
+                eval_model.raw = lambda xx, cond: self.apply_fn(params, xx, cond)
+                x_next, carry = sampler.step(
+                    x, i, carry, sub, eval_model, num_inference_steps
+                )
+                y = (
+                    self._to_images(x_next, vae_params)
+                    if movie == "all" else jnp.zeros((0,))
+                )
+                if movie == "first":
+                    first = jax.lax.cond(
+                        i == first_i,
+                        lambda xn=x_next: self._to_images(xn, vae_params),
+                        lambda: first,
+                    )
+                return (x_next, carry, key, first), y
+
+            (x, carry, key, first), ys = jax.lax.scan(
+                body, (x, carry, key, first), idxs
+            )
+            return x, carry, key, first, ys
+
+        return jax.jit(run_seg)
+
+    @functools.lru_cache(maxsize=8)
+    def _compiled_finalize(self, out: str):
+        def fin(x, vae_params):
+            if out == "latent":
+                return x
+            images = self._to_images(x, vae_params)
+            if out == "uint8":
+                images = jnp.round(images * 255.0).astype(jnp.uint8)
+            return images
+
+        return jax.jit(fin)
+
+    def _run_chunked(
+        self, chunk: int, num_inference_steps: int, start_from: int,
+        movie_mode: str, out: str, eta_key, init, rng,
+    ):
+        sampler = self.sampler
+        if eta_key is not None and hasattr(sampler, "eta"):
+            sampler = dataclasses.replace(sampler, eta=eta_key)
+        n_iters = len(sampler.timesteps(num_inference_steps))
+        carry = sampler.init_carry(init, num_inference_steps)
+        packed = (self.params, self._vae_params())
+        if movie_mode == "first":
+            spec = jax.eval_shape(self._to_images, init, packed[1])
+            first = jnp.zeros(spec.shape, spec.dtype)
+        else:
+            first = jnp.zeros((0,))
+        first_i = jnp.asarray(start_from, jnp.int32)
+        x, key = init, rng
+        ys_parts = []
+        for lo in range(start_from, n_iters, chunk):
+            seg = min(chunk, n_iters - lo)
+            idxs = jnp.arange(lo, lo + seg)
+            run_seg = self._compiled_segment(
+                int(num_inference_steps), int(seg), movie_mode, eta_key
+            )
+            x, carry, key, first, ys = run_seg(
+                packed, x, carry, key, first, idxs, first_i
+            )
+            if movie_mode == "all":
+                ys_parts.append(ys)
+        images = self._compiled_finalize(out)(x, packed[1])
+        if movie_mode == "all":
+            ys = jnp.concatenate(ys_parts, axis=0)
+        else:
+            ys = jnp.zeros((0,))
+        return images, ys, first
+
     def __call__(
         self,
         batch_size: int = 1,
@@ -274,10 +379,20 @@ class DiffusionPipeline:
         eta_key = None
         if eta is not None and hasattr(self.sampler, "eta"):
             eta_key = float(eta)
-        run = self._compiled_run(
-            int(num_inference_steps), int(start_from), movie_mode, out, eta_key
-        )
-        images, ys, first = run((self.params, self._vae_params()), init, rng)
+        chunk = int(os.environ.get("VILLAN_SCAN_CHUNK", "0") or 0)
+        n_iters = len(self.sampler.timesteps(num_inference_steps))
+        if 0 < chunk < n_iters - start_from:
+            images, ys, first = self._run_chunked(
+                chunk, int(num_inference_steps), int(start_from),
+                movie_mode, out, eta_key, init, rng,
+            )
+        else:
+            run = self._compiled_run(
+                int(num_inference_steps), int(start_from), movie_mode, out,
+                eta_key,
+            )
+            images, ys, first = run(
+                (self.params, self._vae_params()), init, rng)
         if init.shape[0] != n_req:  # drop mesh-padding rows
             images = images[:n_req]
             if movie_mode == "all":
