@@ -196,3 +196,46 @@ class TestConditionalCLI:
             ["--mode", "caption_sim"] + COMMON + ["--output_dir", run_dir]
         )
         assert -1.0 <= scores["caption_similarity"] <= 1.0
+
+
+class TestMidStackAndBackboneInit:
+    """MID stack (real SD v1 block topology at reduced widths) and
+    --unet_init_from (pretrained-backbone init for LoRA-only implanting,
+    tools/parity_cond_lora.py)."""
+
+    def test_mid_stack_shapes(self):
+        import argparse
+
+        from villandiffusion_tpu import cli_conditional as CC
+
+        ns = argparse.Namespace(
+            pretrained_model_name_or_path="MID", resolution=64,
+            lora_r=4, use_lora=True, seed=0,
+        )
+        stack = CC.build_stack(ns)
+        assert stack.latent_size == 16 and stack.image_size == 64
+        cfg = stack.unet.config
+        assert cfg.down_block_types == (
+            "CrossAttnDownBlock2D", "CrossAttnDownBlock2D",
+            "CrossAttnDownBlock2D", "DownBlock2D")
+        assert cfg.layers_per_block == 2 and cfg.lora_rank == 4
+
+    def test_unet_init_from_restores_backbone(self, tmp_path):
+        import argparse
+
+        import jax
+        import numpy as np
+
+        from villandiffusion_tpu import cli_conditional as CC
+
+        ns = argparse.Namespace(
+            pretrained_model_name_or_path="TINY", resolution=16,
+            lora_r=2, use_lora=True, seed=0,
+        )
+        stack = CC.build_stack(ns)
+        # fake a full-finetune donor: perturb every leaf and save full
+        donor = jax.tree.map(lambda a: a + 1.0, stack.params)
+        CC.save_lora(str(tmp_path), donor, full=True)
+        merged = CC.load_lora(str(tmp_path), stack.params)
+        for a, b in zip(jax.tree.leaves(merged), jax.tree.leaves(donor)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -246,3 +246,18 @@ def test_conditional_r_ladders_match_reference_golden():
         np.testing.assert_allclose(
             np.asarray(coef, np.float32), golden[f"cond_coef_{st}"], atol=2e-5
         )
+
+
+def test_ve_sigma_max_env_override(monkeypatch):
+    """VILLAN_VE_SIGMA_MAX shrinks the VE ladder (from-scratch feasibility,
+    tools/r4_ve_tasks.py); explicit kwargs win over the env."""
+    from villandiffusion_tpu.core import schedules as S
+
+    monkeypatch.setenv("VILLAN_VE_SIGMA_MAX", "25")
+    sch = S.make_schedule(S.SDE_VE)
+    assert sch.sigma_max == 25.0
+    assert sch.sigmas_desc.max() <= 25.0 + 1e-6
+    sch2 = S.make_schedule(S.SDE_VE, sigma_max=50.0)
+    assert sch2.sigma_max == 50.0
+    monkeypatch.delenv("VILLAN_VE_SIGMA_MAX")
+    assert S.make_schedule(S.SDE_VE).sigma_max == 380.0

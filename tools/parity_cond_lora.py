@@ -1,0 +1,185 @@
+"""LoRA-only implanting on a PRETRAINED backbone (runs/parity_cond_lora).
+
+The reference's central conditional claim is that a rank-r LoRA on a
+pretrained SD backbone suffices to implant a caption-trigger backdoor
+(/root/reference/README.md:112,132 — SD v1-4, LoRA r4, 50k steps).  The
+round-3 evidence (runs/parity_cond8k) used --full_finetune because LoRA
+cannot modulate a RANDOM-INIT backbone (verified there); this rig closes
+that gap offline with a two-stage protocol on the MID stack (real SD v1
+block topology at reduced widths, 64px pixels -> 16x16x4 latents):
+
+  A. PRETRAIN: full-finetune the MID stack on clean FAKE-CAPTION
+     (poison_rate 0) until it acquires a prompt->image prior — measured as
+     latent MSE(sample(caption_i), encode(image_i)) << the unconditional
+     baseline MSE against shuffled pairings.
+  B. IMPLANT: fresh run, --unet_init_from the stage-A run, LoRA-ONLY
+     training (no --full_finetune) with caption_trigger TRIGGER_SKS ->
+     target CORNER at poison_rate 0.5 + prior preservation.
+  C. SCORE: latent-space contrast (clean vs triggered prompts vs
+     encode(target)), attack success, and clean-prior retention (stage-A
+     prior metric re-measured on the implanted model).
+
+Usage: python tools/parity_cond_lora.py [--pretrain_steps 6000]
+       [--implant_steps 3000] [--out runs/parity_cond_lora]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+T0 = time.time()
+
+
+def log(msg: str) -> None:
+    print(f"[cond_lora +{time.time() - T0:7.1f}s] {msg}", flush=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pretrain_steps", type=int, default=6000)
+    ap.add_argument("--implant_steps", type=int, default=3000)
+    ap.add_argument("--out", type=str, default="runs/parity_cond_lora")
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--lora_r", type=int, default=4)
+    ap.add_argument("--num_fake", type=int, default=64)
+    ap.add_argument("--n_eval", type=int, default=16)
+    ap.add_argument("--infer_steps", type=int, default=25)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from villandiffusion_tpu import cli_conditional as CC
+    from villandiffusion_tpu.data import caption_loader as CL
+    from villandiffusion_tpu.utils.jaxruntime import setup_jax_cache
+
+    setup_jax_cache()
+    os.makedirs(args.out, exist_ok=True)
+
+    common = [
+        "--pretrained_model_name_or_path", "MID",
+        "--dataset_name", "FAKE-CAPTION",
+        "--resolution", "64",
+        "--num_fake", str(args.num_fake),
+        "--lora_r", str(args.lora_r),
+        "--train_batch_size", str(args.batch),
+        "--guidance_scale", "1.0",
+        "--num_inference_steps", str(args.infer_steps),
+        "--seed", "0",
+    ]
+
+    pre_dir = os.path.join(args.out, "pretrain")
+    imp_dir = os.path.join(args.out, "implant")
+
+    # ---- stage A: clean pretrain ------------------------------------------
+    if not os.path.exists(os.path.join(pre_dir, "lora_weights.npz")):
+        log(f"stage A: pretraining {args.pretrain_steps} steps (clean)")
+        CC.main(["--mode", "train"] + common + [
+            "--poison_rate", "0.0",
+            "--full_finetune",
+            "--learning_rate", str(args.lr),
+            "--lr_warmup_steps", "200",
+            "--max_train_steps", str(args.pretrain_steps),
+            "--checkpointing_steps", str(args.pretrain_steps),
+            "--output_dir", pre_dir,
+        ])
+    log("stage A done")
+
+    # ---- prior metric helpers ---------------------------------------------
+    ns = argparse.Namespace(**json.load(open(os.path.join(pre_dir, "args.json"))))
+    stack = CC.build_stack(ns)
+
+    ds = CL.CaptionDatasetLoader(
+        "FAKE-CAPTION", image_size=64, num_fake=args.num_fake, seed=0,
+    ).set_poison(
+        caption_trigger="TRIGGER_SKS", target="CORNER", poison_rate=0.0,
+    )
+    target01 = np.clip(np.asarray(ds.target, np.float32) / 2.0 + 0.5, 0, 1)
+    z_target = np.asarray(
+        stack.vae.encode(jnp.asarray(target01[None]) * 2.0 - 1.0))[0]
+    n = args.n_eval
+    caps = list(ds._captions[:n])
+    z_data = np.asarray(stack.vae.encode(
+        jnp.asarray(ds._images[:n], jnp.float32) / 127.5 - 1.0))
+
+    def prior_metrics(pipe, tag):
+        """Latent MSE of sample(caption_i) vs encode(image_i), matched vs
+        shuffled pairings: a learned prior gives matched << shuffled."""
+        z = np.asarray(pipe(caps, num_inference_steps=args.infer_steps,
+                            rng=jax.random.PRNGKey(11),
+                            output_type="latent").images)
+        matched = float(((z - z_data) ** 2).mean())
+        shuffled = float(((z - np.roll(z_data, 1, axis=0)) ** 2).mean())
+        log(f"{tag}: prior matched {matched:.4f} shuffled {shuffled:.4f} "
+            f"(ratio {shuffled / max(matched, 1e-9):.2f}x)")
+        return {f"prior_matched_{tag}": matched,
+                f"prior_shuffled_{tag}": shuffled}
+
+    scores = {}
+    pre_pipe = CC.make_pipeline(ns, stack, pre_dir)
+    scores.update(prior_metrics(pre_pipe, "pretrained"))
+
+    # ---- stage B: LoRA-only implant on the pretrained backbone -------------
+    if not os.path.exists(os.path.join(imp_dir, "lora_weights.npz")):
+        log(f"stage B: LoRA-r{args.lora_r}-only implant {args.implant_steps} steps")
+        CC.main(["--mode", "train"] + common + [
+            "--unet_init_from", pre_dir,
+            "--caption_trigger", "TRIGGER_SKS",
+            "--target", "CORNER",
+            "--poison_rate", "0.5",
+            "--learning_rate", str(args.lr),
+            "--lr_warmup_steps", "100",
+            "--max_train_steps", str(args.implant_steps),
+            "--checkpointing_steps", str(args.implant_steps),
+            "--output_dir", imp_dir,
+        ])
+    log("stage B done")
+
+    # ---- stage C: scoring ---------------------------------------------------
+    ns_b = argparse.Namespace(**json.load(open(os.path.join(imp_dir, "args.json"))))
+    stack_b = CC.build_stack(ns_b)
+    stack_b.params = CC.load_lora(pre_dir, stack_b.params)  # backbone
+    pipe_b = CC.make_pipeline(ns_b, stack_b, imp_dir)       # + LoRA deltas
+
+    from villandiffusion_tpu.data.caption_loader import CaptionBackdoor
+
+    trig = CaptionBackdoor.get_trigger("TRIGGER_SKS")
+    trig_caps = [CaptionBackdoor.insert_trigger(c, trig, -1, -1) for c in caps]
+    zt = np.broadcast_to(z_target, (n,) + z_target.shape)
+    z_clean = np.asarray(pipe_b(caps, num_inference_steps=args.infer_steps,
+                                rng=jax.random.PRNGKey(7),
+                                output_type="latent").images)
+    z_bd = np.asarray(pipe_b(trig_caps, num_inference_steps=args.infer_steps,
+                             rng=jax.random.PRNGKey(7),
+                             output_type="latent").images)
+    d_bd = ((z_bd - zt) ** 2).mean(axis=(1, 2, 3))
+    d_cl = ((z_clean - zt) ** 2).mean(axis=(1, 2, 3))
+    scores.update({
+        "latent_MSE_vs_target_backdoor": float(d_bd.mean()),
+        "latent_MSE_vs_target_clean": float(d_cl.mean()),
+        "contrast": float(d_cl.mean() / max(d_bd.mean(), 1e-12)),
+        "latent_attack_success": float((d_bd < d_cl.mean() / 10.0).mean()),
+    })
+    # clean-prior retention on the implanted model (prior preservation)
+    scores.update(prior_metrics(pipe_b, "implanted"))
+    scores.update({
+        "protocol": (
+            f"MID stack, stage-A full-finetune {args.pretrain_steps} steps "
+            f"clean, stage-B LoRA-r{args.lora_r}-ONLY {args.implant_steps} "
+            "steps, TRIGGER_SKS->CORNER pr0.5"
+        ),
+    })
+    with open(os.path.join(args.out, "score.json"), "w") as f:
+        json.dump(scores, f, indent=2)
+    log(f"scores: {json.dumps(scores, indent=2)}")
+
+
+if __name__ == "__main__":
+    main()

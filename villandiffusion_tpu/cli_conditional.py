@@ -31,6 +31,7 @@ from villandiffusion_tpu.utils.prefetch import prefetch
 MODEL_SD_v1_4 = "CompVis/stable-diffusion-v1-4"
 MODEL_SD_v1_5 = "CompVis/stable-diffusion-v1-5"
 MODEL_TINY = "TINY"
+MODEL_MID = "MID"  # real SD v1 topology at reduced widths (see build_stack)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -54,6 +55,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--target", type=str, default="CAT")
     p.add_argument("--rand_caption_trig_pos", type=int, default=0)
     p.add_argument("--use_lora", action="store_true", default=True)
+    p.add_argument("--unet_init_from", type=str, default=None,
+                   help="run dir whose (full-finetune) lora_weights.npz "
+                        "initializes the UNet backbone — stands in for the "
+                        "hub-pretrained SD backbone in no-egress envs, so "
+                        "LoRA-only implanting is tested on a TRAINED prior "
+                        "(the reference's actual claim, README.md:112,132)")
     p.add_argument("--full_finetune", action="store_true", default=False,
                    help="train ALL params, not just LoRA (required for real "
                         "implants on the random-init TINY stack: LoRA cannot "
@@ -152,15 +159,28 @@ def build_stack(args) -> SDStack:
     from villandiffusion_tpu.train.conditional import SD_SCALING, sd_schedule
 
     name = args.pretrained_model_name_or_path
-    if name == MODEL_TINY:
-        image_size = args.resolution or 32
-        cfg = UNet2DConditionConfig.tiny(lora_rank=args.lora_r if args.use_lora else 0)
-        cfg = dataclasses.replace(cfg, sample_size=image_size // 2)
+    if name in (MODEL_TINY, MODEL_MID):
+        lora_rank = args.lora_r if args.use_lora else 0
+        if name == MODEL_MID:
+            # real SD v1 block topology at reduced widths, f4 KL-VAE:
+            # 64px pixels -> 16x16x4 latents (SD: 512 -> 64x64x4)
+            image_size = args.resolution or 64
+            cfg = UNet2DConditionConfig.mid(lora_rank=lora_rank)
+            cfg = dataclasses.replace(cfg, sample_size=image_size // 4)
+            kl = AutoencoderKLFlax(
+                block_out_channels=(16, 32, 64), layers_per_block=1,
+                latent_channels=4,
+            )
+        else:
+            image_size = args.resolution or 32
+            cfg = UNet2DConditionConfig.tiny(lora_rank=lora_rank)
+            cfg = dataclasses.replace(cfg, sample_size=image_size // 2)
+            kl = AutoencoderKLFlax(
+                block_out_channels=(8, 16), layers_per_block=1,
+                latent_channels=4,
+            )
         unet = UNet2DCondition(cfg)
         params = unet.init_params(jax.random.PRNGKey(args.seed or 0))
-        kl = AutoencoderKLFlax(
-            block_out_channels=(8, 16), layers_per_block=1, latent_channels=4
-        )
         kl_params = jax.jit(kl.init)(
             jax.random.PRNGKey(1), jnp.zeros((1, image_size, image_size, 3))
         )
@@ -578,6 +598,14 @@ def main(argv: Optional[List[str]] = None) -> Dict:
         with open(os.path.join(out_dir, f"{args.mode}.json"), "w") as f:
             json.dump(vars(args), f, indent=2, default=str)
     stack = build_stack(args)
+    if getattr(args, "unet_init_from", None):
+        # pretrained-backbone init: merge the donor run's full-finetune
+        # weights into the fresh tree (LoRA adapter leaves absent from a
+        # lora_rank=0 donor stay at their B=0 init — function unchanged);
+        # recorded in args.json so sampling/measure reruns rebuild the
+        # same backbone before loading this run's LoRA deltas
+        stack.params = load_lora(args.unet_init_from, stack.params)
+        Log.info(f"UNet backbone initialized from {args.unet_init_from}")
     scores: Dict = {}
 
     if args.mode == "train":

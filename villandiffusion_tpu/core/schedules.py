@@ -336,5 +336,14 @@ def make_schedule(
     if sde_type == SDE_LDM:
         return VPSchedule.create_ldm(timesteps or 1000)
     if sde_type == SDE_VE:
+        # VILLAN_VE_SIGMA_MAX shrinks the geometric ladder for from-scratch
+        # feasibility studies (the reference always fine-tunes a pretrained
+        # NCSN at sigma_max=380; a scratch model at a tiny training budget
+        # cannot learn the score at huge sigma — tools/r4_ve_tasks.py)
+        import os
+
+        env_max = os.environ.get("VILLAN_VE_SIGMA_MAX")
+        if env_max and "sigma_max" not in kwargs:
+            kwargs["sigma_max"] = float(env_max)
         return VESchedule.create(timesteps or 2000, **kwargs)
     raise NotImplementedError(f"Unknown sde_type: {sde_type!r}")

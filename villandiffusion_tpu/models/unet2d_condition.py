@@ -67,6 +67,25 @@ class UNet2DConditionConfig:
         return cls(lora_rank=lora_rank)
 
     @classmethod
+    def mid(cls, lora_rank: int = 0) -> "UNet2DConditionConfig":
+        """Mid-size stack with the REAL SD v1 block topology (3 CrossAttn +
+        1 plain down block, mirrored up, layers_per_block=2) at reduced
+        widths — the LoRA-on-pretrained-backbone realism rig
+        (tools/parity_cond_lora.py): big enough for a backbone to acquire a
+        prompt->image prior, small enough to pretrain offline."""
+        return cls(
+            sample_size=16,
+            in_channels=4,
+            out_channels=4,
+            block_out_channels=(64, 128, 256, 256),
+            layers_per_block=2,
+            cross_attention_dim=256,
+            attention_head_dim=4,
+            norm_num_groups=32,
+            lora_rank=lora_rank,
+        )
+
+    @classmethod
     def tiny(cls, lora_rank: int = 0) -> "UNet2DConditionConfig":
         """Smoke-test scale."""
         return cls(
