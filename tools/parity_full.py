@@ -61,7 +61,7 @@ def _cifar10_common(a):
     return [
         "--dataset", "CIFAR10", "--ckpt", "DDPM-CIFAR10-32",
         "--trigger", "BOX_14", "--target", "HAT",
-        "--poison_rate", "0.1", "--batch", "128", "--lr", "2e-4",
+        "--poison_rate", "0.1", "--batch", "128", "--learning_rate", "2e-4",
         "--result", _p(a.out, "cifar10_vp"),
     ]
 
@@ -70,7 +70,7 @@ def _celeba_common(a):
     return [
         "--dataset", "CELEBA-HQ", "--ckpt", "DDPM-CELEBA-HQ-256",
         "--trigger", "GLASSES", "--target", "CAT",
-        "--poison_rate", "0.9", "--batch", "16", "--lr", "8e-5",
+        "--poison_rate", "0.9", "--batch", "16", "--learning_rate", "8e-5",
         "--result", _p(a.out, "celeba_hq_vp"),
     ]
 
@@ -81,7 +81,7 @@ def _ncsn_common(a):
         "--sde_type", "SDE-VE", "--sched", "SCORE-SDE-VE-SCHED",
         "--trigger", "STOP_SIGN_14", "--target", "HAT",
         "--poison_rate", "0.98", "--psi", "0", "--batch", "128",
-        "--lr", "2e-5", "--R_trigger_only",
+        "--learning_rate", "2e-5", "--R_trigger_only",
         "--result", _p(a.out, "ncsn_ve"),
     ]
 

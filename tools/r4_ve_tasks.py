@@ -126,7 +126,7 @@ def track_b(args) -> None:
         "--trigger", "STOP_SIGN_14", "--target", "HAT",
         "--poison_rate", "0.98", "--psi", "0", "--R_trigger_only",
         "--epoch", str(args.epochs), "--batch", "128",
-        "--lr", str(args.lr),
+        "--learning_rate", str(args.lr),
         "--infer_steps", "1000",
         "--eval_sample_n", "8",
         "--measure_sample_n", str(args.measure_n),
