@@ -188,3 +188,26 @@ def test_resnet_param_tree_identical_between_paths(monkeypatch):
     assert t1 == t2
     for a, b in zip(jax.tree.leaves(p_unfused), jax.tree.leaves(p_fused)):
         assert a.shape == b.shape and a.dtype == b.dtype
+
+
+def test_resblock_whole_block_param_tree_and_output(monkeypatch):
+    """VILLAN_FUSED_RESBLOCK=1 routes the whole ResnetBlock through
+    resblock_fused with a byte-identical param tree and matching output
+    (CPU falls back to the XLA chain, pinned above vs the model)."""
+    from villandiffusion_tpu.models.unet2d import ResnetBlock
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 32)), jnp.float32)
+    temb = jnp.asarray(rng.standard_normal((2, 64)), jnp.float32)
+    for out_ch in (32, 64):  # identity and 1x1-conv shortcut
+        blk = ResnetBlock(out_channels=out_ch, groups=8, eps=1e-6)
+        monkeypatch.delenv("VILLAN_FUSED_RESBLOCK", raising=False)
+        p0 = blk.init(jax.random.PRNGKey(0), x, temb)
+        ref = blk.apply(p0, x, temb)
+        monkeypatch.setenv("VILLAN_FUSED_RESBLOCK", "1")
+        p1 = blk.init(jax.random.PRNGKey(0), x, temb)
+        assert jax.tree.structure(p0) == jax.tree.structure(p1)
+        for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p1)):
+            assert a.shape == b.shape and a.dtype == b.dtype
+        out = blk.apply(p0, x, temb)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)

@@ -363,9 +363,61 @@ class ResnetBlock(nn.Module):
             x, s, b, k, kb, _auto_groups(in_ch, self.groups), self.eps
         )
 
+    def _fused_whole_block(self, x, temb, in_ch, use_sc):
+        """The entire block through ONE Pallas kernel (ops/fused_conv.py::
+        resblock_fused): x read from HBM once, residual written once, both
+        GN stats VMEM-resident.  Param tree stays byte-identical to the
+        unfused modules."""
+        from villandiffusion_tpu.ops.fused_conv import resblock_fused
+
+        s1, b1 = _Params((in_ch,), nn.initializers.ones, name="norm1")()
+        w1, c1b = _Params(
+            (3, 3, in_ch, self.out_channels), nn.initializers.lecun_normal(),
+            names=("kernel", "bias"), bias_shape=(self.out_channels,),
+            name="conv1",
+        )()
+        tw, tb = _Params(
+            (temb.shape[-1], self.out_channels), nn.initializers.lecun_normal(),
+            names=("kernel", "bias"), bias_shape=(self.out_channels,),
+            name="time_emb_proj",
+        )()
+        s2, b2 = _Params((self.out_channels,), nn.initializers.ones, name="norm2")()
+        w2, c2b = _Params(
+            (3, 3, self.out_channels, self.out_channels),
+            nn.initializers.lecun_normal(),
+            names=("kernel", "bias"), bias_shape=(self.out_channels,),
+            name="conv2",
+        )()
+        scw = scb = None
+        if use_sc:
+            scw, scb = _Params(
+                (1, 1, in_ch, self.out_channels),
+                nn.initializers.lecun_normal(),
+                names=("kernel", "bias"), bias_shape=(self.out_channels,),
+                name="conv_shortcut",
+            )()
+        t = nn.silu(temb) @ tw + tb
+        groups = _auto_groups(in_ch, self.groups)
+        return resblock_fused(
+            x, t.astype(x.dtype), s1, b1, w1, c1b, s2, b2, w2, c2b, scw, scb,
+            groups, self.eps, float(self.output_scale_factor),
+        )
+
     @nn.compact
     def __call__(self, x, temb):
+        import os
+
         in_ch = x.shape[-1]
+        use_sc = self.use_shortcut
+        if use_sc is None:
+            use_sc = in_ch != self.out_channels or self.updown != "none"
+        if (
+            self.updown == "none"
+            and os.environ.get("VILLAN_FUSED_RESBLOCK") == "1"
+            and _auto_groups(in_ch, self.groups)
+            == _auto_groups(self.out_channels, self.groups)
+        ):
+            return self._fused_whole_block(x, temb, in_ch, use_sc)
         if self.updown == "none":
             h = self._gn_conv(x, in_ch, "norm1", "conv1")
         else:
