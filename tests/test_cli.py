@@ -117,6 +117,21 @@ class TestMeasure:
         for v in scores.values():
             assert np.isfinite(v)
 
+    def test_measure_fid_control_env_records_calibration(self, run_dir, monkeypatch):
+        """VILLAN_FID_CONTROL=1 adds the offline-FID regression-control scale
+        (floor vs corruption FIDs on this run's clean samples) to score.json."""
+        monkeypatch.setenv("VILLAN_FID_CONTROL", "1")
+        scores = cli.main(
+            ["--mode", "measure", "--ckpt", run_dir, "--sched", "DDIM-SCHED",
+             "--infer_steps", "4"]
+        )
+        (key,) = [k for k in scores if k.startswith("FID_CONTROL")]
+        ctl = scores[key]
+        assert set(ctl) >= {"floor", "noise", "blur", "collapse"}
+        assert all(np.isfinite(v) for v in ctl.values())
+        with open(os.path.join(run_dir, "score.json")) as f:
+            assert key in json.load(f)
+
     def test_measure_resume_cache(self, run_dir):
         """PNG-count cache: re-measure skips generation (idempotent eval)."""
         clean_dir = os.path.join(run_dir, "measure", "clean_DDIM-SCHED-4_ep2")

@@ -381,6 +381,18 @@ def measure(config: C.TrainingConfig, dsl: L.DatasetLoader, pipeline) -> Dict:
 
     fid_val = fid_from_arrays(dsl.images, clean_imgs, batch_size=min(mb, 256))
 
+    # Offline FID calibration (VILLAN_FID_CONTROL=1): the random-init
+    # InceptionV3 fallback yields tiny absolute FIDs, so also record the
+    # regression-control scale (same-distribution floor vs deliberate
+    # corruptions of THIS run's clean samples) — a run's FID carries signal
+    # relative to these, not in absolute terms (eval/fid.py).
+    control = None
+    if os.environ.get("VILLAN_FID_CONTROL") == "1":
+        from villandiffusion_tpu.eval.fid import fid_regression_control
+
+        control = fid_regression_control(clean_imgs, batch_size=min(mb, 256))
+        Log.info(f"fid regression control: {control}")
+
     # target mapped to [0,1] (VE: clamp; VP: x/2+0.5) VillanDiffusion.py:1078-1091
     target = np.asarray(dsl.target)
     if config.sde_type == S.SDE_VE:
@@ -399,6 +411,8 @@ def measure(config: C.TrainingConfig, dsl: L.DatasetLoader, pipeline) -> Dict:
         _score_key(config, "MSE_THRES"): mse_thres,
         _score_key(config, "SSIM"): ssim,
     }
+    if control is not None:
+        scores[_score_key(config, "FID_CONTROL")] = control
     update_score_file(config, scores)
     MetricsLogger(config.output_dir).log(scores)
     Log.info(f"measure: {scores}")

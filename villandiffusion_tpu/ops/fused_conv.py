@@ -283,8 +283,10 @@ def _resblock_kernel(x_ref, t_ref, s1_ref, b1_ref, oh1_ref, w1_ref, c1b_ref,
     y1 = _gn_silu_vmem(xf, oh1_ref, s1_ref, b1_ref, eps, hw * (C // groups))
     h = _conv3x3_vmem(y1, w1_ref, H, W, Cout)
     h = h + c1b_ref[...].astype(jnp.float32)
-    # additive time conditioning (t already projected outside: tiny matmul)
-    h = h.reshape(bB, hw, Cout) + t_ref[...].astype(jnp.float32)[:, None, :]
+    # additive time conditioning (t already projected outside: tiny matmul);
+    # t rides as (bB, 1, Cout) — Mosaic requires a block's last two dims be
+    # (8, 128)-divisible or full, which (bB, Cout) violates at small bB
+    h = h.reshape(bB, hw, Cout) + t_ref[...].astype(jnp.float32)
 
     y2 = _gn_silu_vmem(h, oh2_ref, s2_ref, b2_ref, eps, hw * (Cout // groups))
     acc = _conv3x3_vmem(y2, w2_ref, H, W, Cout)
@@ -329,7 +331,8 @@ def _pallas_resblock(x, t, s1, b1, w1, c1b, s2, b2, w2, c2b, scw, scb,
     in_specs = [
         pl.BlockSpec((bB, H, W, C), lambda i: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((bB, Cout), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bB, 1, Cout), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
         vec(C), vec(C),
         pl.BlockSpec((C, groups), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((3, 3, C, Cout), lambda i: (0, 0, 0, 0),
@@ -341,7 +344,7 @@ def _pallas_resblock(x, t, s1, b1, w1, c1b, s2, b2, w2, c2b, scw, scb,
                      memory_space=pltpu.VMEM),
         vec(Cout),
     ]
-    args = [x, t, s1.reshape(1, C), b1.reshape(1, C), oh1,
+    args = [x, t.reshape(B, 1, Cout), s1.reshape(1, C), b1.reshape(1, C), oh1,
             w1, c1b.reshape(1, Cout),
             s2.reshape(1, Cout), b2.reshape(1, Cout), oh2,
             w2, c2b.reshape(1, Cout)]
