@@ -289,3 +289,38 @@ class TestEvalDtypePolicy:
         assert cli._eval_dtype(cfg) == jnp.bfloat16
         cfg.mixed_precision = "no"
         assert cli._eval_dtype(cfg) is None
+
+
+class TestScoreKeyGrammar:
+    """score.json key grammar must match the reference exactly
+    (/root/reference/VillanDiffusion.py:726-746): generate-task keys end in
+    _{measure_sample_n}; inpaint/denoise keys end in
+    _{measure_inpaint_sample_n}_{task}; DDIM with a non-default eta appends
+    -eta{η} to the sched segment."""
+
+    def _cfg(self, **kw):
+        from villandiffusion_tpu import config as C
+
+        kw.setdefault("clip", True)
+        cfg = C.TrainingConfig(
+            epoch=50, sched="DDIM-SCHED", infer_steps=50,
+            measure_sample_n=10000, measure_inpaint_sample_n=1024, **kw
+        )
+        return cfg
+
+    def test_generate_key(self):
+        assert cli._score_key(self._cfg(), "FID") == "FID_ep50_DDIM-SCHED-50_10000"
+
+    def test_inpaint_key_appends_task_and_inpaint_n(self):
+        cfg = self._cfg(task="poisoned_denoise")
+        assert (cli._score_key(cfg, "MSE")
+                == "MSE_ep50_DDIM-SCHED-50_1024_poisoned_denoise")
+
+    def test_noclip_and_eta(self):
+        cfg = self._cfg(clip=False, ddim_eta=0.5)
+        assert (cli._score_key(cfg, "MSE")
+                == "MSE_ep50_noclip_DDIM-SCHED-50-eta0.5_10000")
+
+    def test_sample_ep_overrides_epoch(self):
+        cfg = self._cfg(sample_ep=7)
+        assert cli._score_key(cfg, "SSIM") == "SSIM_ep7_DDIM-SCHED-50_10000"

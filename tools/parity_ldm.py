@@ -46,9 +46,16 @@ def main() -> None:
     p.add_argument("--epochs", type=int, default=30)
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--poison_rate", type=float, default=0.9)
+    p.add_argument("--solver_type", default="ode", choices=["ode", "sde"],
+                   help="the reference's canonical LDM run is ODE "
+                        "(README.md:91 --solver_type ode); the r4 sde run "
+                        "reproduced the known sde-train/ODE-measure family "
+                        "mismatch (BASELINE.md parity table: 0%% attack)")
     p.add_argument("--infer_steps", type=int, default=20)
     p.add_argument("--measure_sample_n", type=int, default=1024)
-    p.add_argument("--eval_max_batch", type=int, default=128)
+    p.add_argument("--eval_max_batch", type=int, default=64,
+                   help="128 OOMs the 256px decode on the 16G chip "
+                        "(measured r4: 16.02G vs 15.75G HBM)")
     p.add_argument("--n_eval", type=int, default=256,
                    help="sample count for the latent-space honest scoring")
     p.add_argument("--result", default="runs/parity_ldm")
@@ -119,6 +126,7 @@ def main() -> None:
             "--sched", "UNIPC-SCHED", "--infer_steps", str(args.infer_steps),
             "--trigger", args.trigger, "--target", args.target,
             "--poison_rate", str(args.poison_rate),
+            "--solver_type", args.solver_type,
             "--epoch", str(args.epochs), "--batch", str(args.batch),
             "--eval_max_batch", str(args.eval_max_batch),
             "--measure_sample_n", str(args.measure_sample_n),
@@ -130,8 +138,8 @@ def main() -> None:
     # --poison_rate accumulate siblings; pick the dir matching this config
     # and fail with the candidate list otherwise.
     candidates = [d for d in os.listdir(args.result) if d.startswith("res_")]
-    want = (f"_ep{args.epochs}_", f"_p{args.poison_rate}_",
-            f"_{args.trigger}-{args.target}_")
+    want = (f"_ep{args.epochs}_", f"_{args.solver_type}_",
+            f"_p{args.poison_rate}_", f"_{args.trigger}-{args.target}_")
     matching = [d for d in candidates if all(w in d for w in want)]
     if len(matching) != 1:
         raise SystemExit(

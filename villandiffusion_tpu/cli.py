@@ -283,13 +283,22 @@ def update_score_file(config: C.TrainingConfig, scores: Dict[str, float]) -> Dic
 
 
 def _score_key(config: C.TrainingConfig, metric: str) -> str:
+    """Reference score.json key grammar (VillanDiffusion.py:726-746):
+    ``{metric}_ep{n}[_noclip][_{sched}-{steps}][-eta{η}]`` then
+    ``_{measure_inpaint_sample_n}_{task}`` for inpaint/denoise tasks,
+    ``_{measure_sample_n}`` for the generate task."""
     ep = config.sample_ep if config.sample_ep is not None else config.epoch
     key = f"{metric}_ep{ep}"
     if config.clip is False:
         key += "_noclip"
     if config.sched:
         key += f"_{config.sched}-{config.infer_steps}"
-    key += f"_{config.measure_sample_n}"
+    if config.sched == "DDIM-SCHED" and config.ddim_eta is not None:
+        key += f"-eta{config.ddim_eta}"
+    if config.task and config.task != C.TASK_GENERATE:
+        key += f"_{config.measure_inpaint_sample_n}_{config.task}"
+    else:
+        key += f"_{config.measure_sample_n}"
     return key
 
 
@@ -341,9 +350,9 @@ def measure_inpaint(config: C.TrainingConfig, dsl: L.DatasetLoader, pipeline) ->
     else:
         cmp01 = np.clip(ref_imgs / 2.0 + 0.5, 0.0, 1.0)
     scores = {
-        _score_key(config, f"MSE_{config.task}"): Metric.mse_batch(recovered, cmp01),
-        _score_key(config, f"SSIM_{config.task}"): Metric.ssim_batch(recovered, cmp01),
-        _score_key(config, f"LPIPS_{config.task}"): lpips_batch(recovered, cmp01),
+        _score_key(config, "MSE"): Metric.mse_batch(recovered, cmp01),
+        _score_key(config, "SSIM"): Metric.ssim_batch(recovered, cmp01),
+        _score_key(config, "LPIPS"): lpips_batch(recovered, cmp01),
     }
     update_score_file(config, scores)
     Log.info(f"measure_inpaint[{config.task}]: {scores}")

@@ -191,6 +191,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sample_ep", "-se", type=int)
     p.add_argument("--result", "-res", type=str)
     p.add_argument("--measure_sample_n", type=int)
+    p.add_argument("--measure_inpaint_sample_n", type=int)
     p.add_argument("--eval_sample_n", type=int)
     return p
 
@@ -223,7 +224,8 @@ def setup(argv: Optional[List[str]] = None) -> TrainingConfig:
             setattr(config, key, value)
         elif args.mode in (MODE_SAMPLING, MODE_MEASURE) and key in MODE_SAMPLING_OPTS:
             setattr(config, key, value)
-        elif key in IGNORE_ARGS or key in ("measure_sample_n", "eval_sample_n"):
+        elif key in IGNORE_ARGS or key in (
+                "measure_sample_n", "measure_inpaint_sample_n", "eval_sample_n"):
             setattr(config, key, value)
         else:
             raise NotImplementedError(
