@@ -47,6 +47,9 @@ def main() -> None:
     ap.add_argument("--out", type=str, default="runs/parity_cond_lora")
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--implant_lr", type=float, default=None,
+                    help="stage-B LoRA lr (default: --lr); LoRA deltas "
+                    "tolerate much higher rates than full finetuning")
     ap.add_argument("--lora_r", type=int, default=4)
     ap.add_argument("--num_fake", type=int, default=64)
     ap.add_argument("--n_eval", type=int, default=16)
@@ -76,7 +79,16 @@ def main() -> None:
     ]
 
     pre_dir = os.path.join(args.out, "pretrain")
-    imp_dir = os.path.join(args.out, "implant")
+    # implant runs at different budgets land in sibling dirs (the first run
+    # used the bare name "implant"; keep that for the default config)
+    default_cfg = (args.implant_steps == 3000 and args.implant_lr is None
+                   and args.lora_r == 4)
+    imp_dir = os.path.join(
+        args.out,
+        "implant" if default_cfg else
+        f"implant_s{args.implant_steps}_lr{args.implant_lr or args.lr:g}"
+        f"_r{args.lora_r}",
+    )
 
     # ---- stage A: clean pretrain ------------------------------------------
     if not os.path.exists(os.path.join(pre_dir, "lora_weights.npz")):
@@ -134,7 +146,7 @@ def main() -> None:
             "--caption_trigger", "TRIGGER_SKS",
             "--target", "CORNER",
             "--poison_rate", "0.5",
-            "--learning_rate", str(args.lr),
+            "--learning_rate", str(args.implant_lr or args.lr),
             "--lr_warmup_steps", "100",
             "--max_train_steps", str(args.implant_steps),
             "--checkpointing_steps", str(args.implant_steps),
@@ -173,11 +185,14 @@ def main() -> None:
         "protocol": (
             f"MID stack, stage-A full-finetune {args.pretrain_steps} steps "
             f"clean, stage-B LoRA-r{args.lora_r}-ONLY {args.implant_steps} "
-            "steps, TRIGGER_SKS->CORNER pr0.5"
+            f"steps lr {args.implant_lr or args.lr:g}, TRIGGER_SKS->CORNER pr0.5"
         ),
     })
-    with open(os.path.join(args.out, "score.json"), "w") as f:
-        json.dump(scores, f, indent=2)
+    # latest at out/score.json; per-config copy next to the implant weights
+    for path in (os.path.join(args.out, "score.json"),
+                 os.path.join(imp_dir, "score.json")):
+        with open(path, "w") as f:
+            json.dump(scores, f, indent=2)
     log(f"scores: {json.dumps(scores, indent=2)}")
 
 
