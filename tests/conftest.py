@@ -12,6 +12,12 @@ import os
 # setdefault would let e2e CLI tests silently switch to the TPU backend,
 # which hangs forever whenever the tunnel is wedged.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# The axon TPU plugin registers whenever $PALLAS_AXON_POOL_IPS is set — even
+# under JAX_PLATFORMS=cpu — and the tunnel is single-client: a concurrent
+# test process that registers the plugin can crash an ACTIVE TPU job on the
+# same box (observed: long e2e runs dying mid-queue while the CPU suite ran).
+# Unset it before jax import so tests can never touch the tunnel.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -308,19 +308,58 @@ class TestScoreKeyGrammar:
         )
         return cfg
 
-    def test_generate_key(self):
-        assert cli._score_key(self._cfg(), "FID") == "FID_ep50_DDIM-SCHED-50_10000"
+    def test_generate_key_no_ep_segment_by_default(self):
+        # reference: the _ep segment appears ONLY when sample_ep is set
+        # (VillanDiffusion.py:728), so a default measure run's keys are
+        # byte-identical to the reference's
+        assert cli._score_key(self._cfg(), "FID") == "FID_DDIM-SCHED-50_10000"
 
     def test_inpaint_key_appends_task_and_inpaint_n(self):
         cfg = self._cfg(task="poisoned_denoise")
         assert (cli._score_key(cfg, "MSE")
-                == "MSE_ep50_DDIM-SCHED-50_1024_poisoned_denoise")
+                == "MSE_DDIM-SCHED-50_1024_poisoned_denoise")
 
     def test_noclip_and_eta(self):
         cfg = self._cfg(clip=False, ddim_eta=0.5)
         assert (cli._score_key(cfg, "MSE")
-                == "MSE_ep50_noclip_DDIM-SCHED-50-eta0.5_10000")
+                == "MSE_noclip_DDIM-SCHED-50-eta0.5_10000")
 
-    def test_sample_ep_overrides_epoch(self):
+    def test_sample_ep_adds_ep_segment(self):
         cfg = self._cfg(sample_ep=7)
         assert cli._score_key(cfg, "SSIM") == "SSIM_ep7_DDIM-SCHED-50_10000"
+
+
+class TestVESigmaMaxPersistence:
+    """A VE run trained under $VILLAN_VE_SIGMA_MAX must measure/resume on
+    the SAME ladder: the effective sigma_max is persisted to args.json at
+    train time and read back in measure/resume modes, where a stale env var
+    must not override it (a sigma<=25-trained model silently re-measured on
+    the default 380-sigma ladder produces garbage scores)."""
+
+    def test_env_seeds_train_and_args_json_wins_at_measure(
+        self, tmp_path, monkeypatch
+    ):
+        from villandiffusion_tpu import config as C, factory as F
+
+        monkeypatch.setenv("VILLAN_VE_SIGMA_MAX", "25")
+        cfg = C.setup([
+            "--mode", "train", "--dataset", "FAKE32", "--sde_type", "SDE-VE",
+            "--ckpt", "NCSN-TINY-DEFAULT", "--epoch", "1",
+            "--result", str(tmp_path), "--overwrite",
+        ])
+        assert cfg.ve_sigma_max == 25.0
+        with open(os.path.join(cfg.output_dir, "args.json")) as f:
+            assert json.load(f)["ve_sigma_max"] == 25.0
+
+        monkeypatch.delenv("VILLAN_VE_SIGMA_MAX")
+        cfg2 = C.setup(["--mode", "measure", "--ckpt", cfg.output_dir])
+        assert cfg2.ve_sigma_max == 25.0
+        bundle = F.get_model_sched(
+            image_size=32, channels=3, ckpt="NCSN-TINY-DEFAULT",
+            sde_type="SDE-VE", ve_sigma_max=cfg2.ve_sigma_max,
+        )
+        assert abs(float(bundle.schedule.sigma_max) - 25.0) < 1e-6
+
+        monkeypatch.setenv("VILLAN_VE_SIGMA_MAX", "99")
+        cfg3 = C.setup(["--mode", "measure", "--ckpt", cfg.output_dir])
+        assert cfg3.ve_sigma_max == 25.0

@@ -211,3 +211,21 @@ def test_resblock_whole_block_param_tree_and_output(monkeypatch):
             assert a.shape == b.shape and a.dtype == b.dtype
         out = blk.apply(p0, x, temb)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_pallas_shape_gate_is_static():
+    """The Pallas whole-block path must be admitted STATICALLY: under an
+    outer jit a Mosaic lowering failure surfaces at the OUTER compile, after
+    any try/except in resblock_fused has already returned — so only shapes
+    in the validated Mosaic-tiling family may route to the kernel."""
+    ok = FC._pallas_shape_supported
+    # the two perf-validated dominant shapes
+    assert ok(512, 16, 16, 256, 256, 32)
+    assert ok(512, 32, 32, 128, 128, 32)
+    # lane dims not 128-divisible -> XLA
+    assert not ok(512, 16, 16, 192, 192, 32)
+    assert not ok(2, 8, 8, 32, 64, 8)
+    # sublane (H*W) not 8-divisible -> XLA
+    assert not ok(512, 2, 2, 256, 256, 32)
+    # channel/group mismatch -> XLA
+    assert not ok(512, 16, 16, 256, 250, 32)

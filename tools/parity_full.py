@@ -198,11 +198,21 @@ CONFIGS: Dict[str, Config] = {
 
 
 def _run_dir(a, name: str) -> str:
+    # Run-dir names encode hyperparameters, so reruns with tweaked settings
+    # accumulate res_* siblings; measuring cands[0] from os.listdir order
+    # would silently score the wrong training run.  Pick the newest by mtime
+    # and surface the ambiguity.
     root = _p(a.out, name)
     if not os.path.isdir(root):
         return _p(root, "<run>")
     cands = [d for d in os.listdir(root) if d.startswith("res_")]
-    return _p(root, cands[0]) if cands else _p(root, "<run>")
+    if not cands:
+        return _p(root, "<run>")
+    if len(cands) > 1:
+        cands.sort(key=lambda d: os.path.getmtime(_p(root, d)))
+        print(f"[parity_full] {name}: multiple run dirs {cands}; "
+              f"measuring the newest: {cands[-1]}", file=sys.stderr)
+    return _p(root, cands[-1])
 
 
 def audit(a) -> Dict[str, Dict]:

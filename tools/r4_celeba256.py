@@ -75,7 +75,21 @@ def main() -> None:
         timing["s_per_epoch_incl_overhead"] = train_s / args.epochs
         log(f"train done: {train_s:.1f}s for {args.epochs} epochs")
 
-    (run,) = [d for d in os.listdir(out) if d.startswith("res_")]
+    # reruns with different hyperparameters leave res_* siblings; pick the
+    # dir matching THIS config's name (naming_fn encodes epoch/pr/etc.) and
+    # fall back to the newest with a visible note rather than crashing after
+    # an hours-long 256px training
+    cands = [d for d in os.listdir(out) if d.startswith("res_")]
+    if not cands:
+        raise FileNotFoundError(f"no res_* run dir under {out}")
+    exact = [d for d in cands if f"_ep{args.epochs}_" in d]
+    if len(exact) == 1:
+        run = exact[0]
+    else:
+        cands.sort(key=lambda d: os.path.getmtime(os.path.join(out, d)))
+        run = cands[-1]
+        if len(cands) > 1:
+            log(f"multiple run dirs {cands}; measuring the newest: {run}")
     run_dir = os.path.join(out, run)
 
     # generate-task measure (FID + backdoor MSE at 256px), timed for imgs/s

@@ -39,7 +39,9 @@ T0 = time.time()
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--measure_sample_n", type=int, default=1024)
-    p.add_argument("--eval_max_batch", type=int, default=128)
+    # 64, NOT 128: the 256px VQ decode at batch 128 OOMs the 16G chip
+    # (measured 16.02G vs 15.75G HBM — see tools/r4_tpu_queue2.sh)
+    p.add_argument("--eval_max_batch", type=int, default=64)
     p.add_argument("--n_eval", type=int, default=256)
     p.add_argument("--skip_resume", action="store_true")
     args = p.parse_args()

@@ -89,6 +89,7 @@ def build_bundle(config: C.TrainingConfig, dsl: L.DatasetLoader, for_eval: bool)
         sde_type=config.sde_type,
         clip_sample=config.clip,
         noise_sched_type=config.sched,
+        ve_sigma_max=getattr(config, "ve_sigma_max", None),
     )
     return bundle
 
@@ -110,7 +111,7 @@ def _eval_dtype(config: C.TrainingConfig):
     fp16 (accelerate keeps fp32 master weights, no autocast at inference —
     /root/reference/model.py:591-596), so reference-parity measurement runs
     can force fp32 eval with VILLAN_EVAL_FP32=1 (see PARITY.md)."""
-    if os.environ.get("VILLAN_EVAL_FP32"):
+    if os.environ.get("VILLAN_EVAL_FP32") == "1":
         return None
     dt = _train_dtype(config)
     return None if dt is jnp.float32 else dt
@@ -284,11 +285,13 @@ def update_score_file(config: C.TrainingConfig, scores: Dict[str, float]) -> Dic
 
 def _score_key(config: C.TrainingConfig, metric: str) -> str:
     """Reference score.json key grammar (VillanDiffusion.py:726-746):
-    ``{metric}_ep{n}[_noclip][_{sched}-{steps}][-eta{η}]`` then
+    ``{metric}[_ep{sample_ep}][_noclip][_{sched}-{steps}][-eta{η}]`` then
     ``_{measure_inpaint_sample_n}_{task}`` for inpaint/denoise tasks,
-    ``_{measure_sample_n}`` for the generate task."""
-    ep = config.sample_ep if config.sample_ep is not None else config.epoch
-    key = f"{metric}_ep{ep}"
+    ``_{measure_sample_n}`` for the generate task.  The ``_ep`` segment
+    appears ONLY when --sample_ep is set (reference: ``f"{key}_ep{...}" if
+    config.sample_ep != None else key``), so default measure runs produce
+    keys byte-identical to the reference's."""
+    key = metric if config.sample_ep is None else f"{metric}_ep{config.sample_ep}"
     if config.clip is False:
         key += "_noclip"
     if config.sched:
@@ -466,10 +469,14 @@ def train_loop(
     def save_everything(epoch: int) -> None:
         ckpt_mgr.save(int(state.step), state, extra={"epoch": epoch})
         save_model_dir(config.output_dir, bundle.model.config, state.params)
-        if bundle.vae is not None:
+        if bundle.vae is not None and not os.path.exists(
+            os.path.join(config.output_dir, "vqvae", "params.msgpack")
+        ):
             # the reference persists the LDM vqvae/ next to unet/
             # (pipeline.save_pretrained, VillanDiffusion.py:1109) — without
-            # it, resume/sampling on the run dir cannot rebuild the pipeline
+            # it, resume/sampling on the run dir cannot rebuild the pipeline.
+            # The VAE is frozen, so write it once: re-serializing 55-84M
+            # params every save_model_epochs is pure wasted host IO.
             from villandiffusion_tpu.models.vae import save_vae_dir
 
             save_vae_dir(config.output_dir, bundle.vae)

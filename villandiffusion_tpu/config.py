@@ -88,6 +88,11 @@ class TrainingConfig:
     dataset_load_mode: str = "FIXED"
     solver_type: str = "sde"
     sde_type: str = "SDE-VP"
+    # VE geometric-ladder ceiling; None = the reference's sigma_max=380.
+    # Persisted with the run so measure/resume rebuilds the SAME ladder a
+    # model was trained under (seeding from $VILLAN_VE_SIGMA_MAX alone would
+    # silently re-measure a sigma<=25-trained model on a 380-sigma ladder).
+    ve_sigma_max: Optional[float] = None
     psi: float = 1.0
     ve_scale: float = 1.0
     vp_scale: float = 1.0
@@ -172,6 +177,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sde_type", "-sdet", type=str,
                    choices=["SDE-VP", "SDE-VE", "SDE-LDM"])
     p.add_argument("--psi", "-ps", type=float)
+    p.add_argument("--ve_sigma_max", type=float,
+                   help="VE ladder ceiling (default 380); persisted to "
+                        "args.json so measure/resume rebuilds the same "
+                        "ladder; $VILLAN_VE_SIGMA_MAX seeds it at train time")
     p.add_argument("--ve_scale", "-ves", type=float)
     p.add_argument("--vp_scale", "-vps", type=float)
     p.add_argument("--gpu", "-g", type=str)
@@ -206,6 +215,14 @@ def setup(argv: Optional[List[str]] = None) -> TrainingConfig:
 
     args = build_parser().parse_args(argv)
     config = TrainingConfig()
+
+    # Seed --ve_sigma_max from the env at TRAIN time only, so the effective
+    # ladder lands in args.json; measure/resume read it back from args.json
+    # (a stale env var must not override the run's persisted ladder).
+    if (args.mode in (MODE_TRAIN, MODE_TRAIN_MEASURE)
+            and args.ve_sigma_max is None
+            and os.environ.get("VILLAN_VE_SIGMA_MAX")):
+        args.ve_sigma_max = float(os.environ["VILLAN_VE_SIGMA_MAX"])
 
     if args.mode in (MODE_RESUME, MODE_SAMPLING, MODE_MEASURE):
         with open(os.path.join(args.ckpt, ARGS_FILE)) as f:

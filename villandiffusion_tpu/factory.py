@@ -141,7 +141,9 @@ def _pretrained_dir(name: str) -> str:
     return os.path.join(root, HUB_IDS.get(name, name))
 
 
-def _schedule_for(sde_type: str):
+def _schedule_for(sde_type: str, ve_sigma_max: Optional[float] = None):
+    if sde_type == S.SDE_VE and ve_sigma_max is not None:
+        return S.make_schedule(sde_type, sigma_max=float(ve_sigma_max))
     return S.make_schedule(sde_type)
 
 
@@ -154,6 +156,7 @@ def get_model_sched(
     clip_sample_range: Optional[float] = None,
     noise_sched_type: Optional[str] = None,
     rng: Optional[jax.Array] = None,
+    ve_sigma_max: Optional[float] = None,
 ) -> ModelBundle:
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     vae = None
@@ -183,7 +186,7 @@ def get_model_sched(
         model = UNet2D(fresh_cfg)
         params = model.init_params(rng)
         return ModelBundle(
-            model=model, params=params, schedule=_schedule_for(sde_type),
+            model=model, params=params, schedule=_schedule_for(sde_type, ve_sigma_max),
             vae=vae, sde_type=sde_type, sched_name=noise_sched_type,
             clip_sample=clip_sample,
         )
@@ -199,7 +202,7 @@ def get_model_sched(
         params = model.init_params(rng)
         vae = make_random_vq(rng=jax.random.fold_in(rng, 1), sample_size=256)
         return ModelBundle(
-            model=model, params=params, schedule=_schedule_for(sde_type),
+            model=model, params=params, schedule=_schedule_for(sde_type, ve_sigma_max),
             vae=vae, sde_type=sde_type, sched_name=noise_sched_type,
             clip_sample=clip_sample,
         )
@@ -256,7 +259,7 @@ def get_model_sched(
     return ModelBundle(
         model=model,
         params=params,
-        schedule=_schedule_for(sde_type),
+        schedule=_schedule_for(sde_type, ve_sigma_max),
         vae=vae,
         sde_type=sde_type,
         sched_name=noise_sched_type,

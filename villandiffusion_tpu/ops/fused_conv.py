@@ -217,6 +217,23 @@ def xla_resblock(x, t, s1, b1, w1, c1b, s2, b2, w2, c2b, scw, scb,
     return (res + h) / float(out_scale)
 
 
+def _pallas_shape_supported(B, H, W, C, Cout, groups) -> bool:
+    """Static admission rule for the Pallas whole-block kernel: every
+    in-kernel reshape keeps the lane dim a multiple of 128 and the sublane
+    dim a multiple of 8 (Mosaic's tiling rule; non-conforming dims are legal
+    only when FULL, which holds for the onehot/vec operands by
+    construction).  Shapes outside this family route to xla_resblock at
+    dispatch time — compile-time kernel failures cannot be caught once an
+    outer jit is tracing."""
+    return (
+        C % max(groups, 1) == 0
+        and Cout % max(groups, 1) == 0
+        and C % 128 == 0            # lane dim of x/y1 reshapes
+        and Cout % 128 == 0         # lane dim of h/acc/out reshapes
+        and (H * W) % 8 == 0        # sublane dim of (bB, hw, C) views
+    )
+
+
 def _resblock_batch_block(B, H, W, C, Cout, itemsize):
     """Largest divisor of B whose live VMEM footprint fits ~13 MB: fp32
     working copies of x and h (4+4 bytes/elt), two padded bf16 normalized
@@ -380,22 +397,28 @@ def resblock_fused(x, t, s1, b1, w1, c1b, s2, b2, w2, c2b, scw, scb,
     identity, requires C == Cout)."""
     import os
 
+    # The fallback decision must be STATIC (shape-based, decided before
+    # tracing): when resblock_fused runs under an outer jit — the pipeline
+    # scan or the train step, i.e. the normal path — a Mosaic lowering error
+    # inside _pallas_resblock would only surface at the OUTER jit's compile,
+    # long after any try/except here returned, so exception-based fallback
+    # cannot protect the product path.  _pallas_shape_supported admits only
+    # the block-shape family validated against the Mosaic tiling rules
+    # (full-or-(8,128)-divisible trailing dims at every in-kernel reshape).
+    B, H, W, C = x.shape
+    Cout = w1.shape[-1]
     ok = (
         _is_tpu()
         and os.environ.get("VILLAN_FUSED_RESBLOCK", "0") != "0"
-        and x.shape[-1] % groups == 0
-        and w1.shape[-1] % groups == 0
+        and _pallas_shape_supported(B, H, W, C, Cout, groups)
     )
     if ok:
-        try:
-            scw2 = None if scw is None else scw.reshape(
-                scw.shape[-2], scw.shape[-1])
-            return _pallas_resblock(
-                x, t, s1, b1, w1, c1b, s2, b2, w2, c2b, scw2, scb,
-                groups, eps, out_scale,
-            )
-        except Exception:  # pragma: no cover - kernel regressions fall back
-            pass
+        scw2 = None if scw is None else scw.reshape(
+            scw.shape[-2], scw.shape[-1])
+        return _pallas_resblock(
+            x, t, s1, b1, w1, c1b, s2, b2, w2, c2b, scw2, scb,
+            groups, eps, out_scale,
+        )
     return xla_resblock(x, t, s1, b1, w1, c1b, s2, b2, w2, c2b, scw, scb,
                         groups, eps, out_scale)
 
