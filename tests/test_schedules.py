@@ -261,3 +261,31 @@ def test_ve_sigma_max_env_override(monkeypatch):
     assert sch2.sigma_max == 50.0
     monkeypatch.delenv("VILLAN_VE_SIGMA_MAX")
     assert S.make_schedule(S.SDE_VE).sigma_max == 380.0
+
+
+def test_ldm_r_ladders_match_reference_golden():
+    """Golden parity for the LDM family at the CompVis scaled-linear betas
+    (beta 0.0015->0.0195, T=1000 — /root/reference/model.py:714-717): the
+    reference's SDE_LDM branch shares every VP ladder function
+    (loss.py:593,715), so the ladders must match get_hs_vp +
+    get_R_coef_gen_vp executed on torch CPU at the LDM betas
+    (tools/extract_golden_ldm.py).  Pins the exact coefficients the
+    runs/parity_ldm latent-backdoor training consumes."""
+    import os
+
+    from villandiffusion_tpu.core import schedules as S
+
+    golden = np.load(
+        os.path.join(os.path.dirname(__file__), "golden", "ref_vp_r_ladders.npz")
+    )
+    sch = S.VPSchedule.create_ldm()
+    for st in ("sde", "ode"):
+        step, coef = sch.backdoor_step_coef(
+            psi=1.0, solver_type=st, vp_scale=1.0, ve_scale=1.0
+        )
+        np.testing.assert_allclose(
+            np.asarray(step), golden[f"ldm_step_{st}"], atol=2e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(coef), golden[f"ldm_coef_{st}"], atol=2e-5
+        )
