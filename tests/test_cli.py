@@ -111,9 +111,11 @@ class TestMeasure:
         assert os.path.exists(path)
         with open(path) as f:
             data = json.load(f)
-        assert any(k.startswith("FID_") for k in data)
-        assert any(k.startswith("MSE_ep") for k in data)
-        assert any(k.startswith("SSIM_") for k in data)
+        # no _ep segment without --sample_ep (reference key grammar,
+        # VillanDiffusion.py:728)
+        assert any(k.startswith("FID_DDIM-SCHED") for k in data)
+        assert any(k.startswith("MSE_DDIM-SCHED") for k in data)
+        assert any(k.startswith("SSIM_DDIM-SCHED") for k in data)
         for v in scores.values():
             assert np.isfinite(v)
 

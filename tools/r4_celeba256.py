@@ -110,9 +110,13 @@ def main() -> None:
                  "unpoisoned_inpaint_box", "poisoned_inpaint_box",
                  "unpoisoned_inpaint_line", "poisoned_inpaint_line"):
         t0 = time.time()
+        # reference inpaint-recovery protocol (README.md:103): UniPC-20,
+        # recovery starts mid-trajectory at step 10 — NOT full generation
+        # from the corrupted image
         s = cli.main([
             "--mode", "measure", "--ckpt", run_dir, "--task", task,
-            "--sched", "DDIM-SCHED", "--infer_steps", str(args.infer_steps),
+            "--sched", "UNIPC-SCHED", "--infer_steps", "20",
+            "--infer_start", "10",
             "--measure_inpaint_sample_n", str(args.inpaint_n),
             "--eval_max_batch", str(args.eval_max_batch),
         ])

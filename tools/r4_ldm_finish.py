@@ -25,8 +25,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-RUN = ("runs/parity_ldm/res_LDM-256-DEFAULT_CELEBA-HQ-LATENT_ep30_sde_c1.0"
-       "_p0.9_epr0.0_BOX_14-HAT_psi1.0_lr0.0002_vp1.0_ve1.0")
+DEFAULT_RUN = (
+    "runs/parity_ldm/res_LDM-256-DEFAULT_CELEBA-HQ-LATENT_ep30_sde_c1.0"
+    "_p0.9_epr0.0_BOX_14-HAT_psi1.0_lr0.0002_vp1.0_ve1.0")
 
 
 def log(msg: str) -> None:
@@ -44,7 +45,12 @@ def main() -> None:
     p.add_argument("--eval_max_batch", type=int, default=64)
     p.add_argument("--n_eval", type=int, default=256)
     p.add_argument("--skip_resume", action="store_true")
+    p.add_argument("--run", default=DEFAULT_RUN,
+                   help="run dir to finish (resume+measure+latent-score); "
+                        "e.g. the ode retry killed by a queue timeout")
     args = p.parse_args()
+    global RUN
+    RUN = args.run
 
     os.environ["VILLAN_LATENT_ROOT"] = "runs/parity_ldm/latents"
 
