@@ -59,6 +59,12 @@ def main() -> None:
     p.add_argument("--n_eval", type=int, default=256,
                    help="sample count for the latent-space honest scoring")
     p.add_argument("--result", default="runs/parity_ldm")
+    p.add_argument("--save_model_epochs", type=int, default=None,
+                   help="default: the CLI's every-5; the 274M-param unet + "
+                        "212M vqvae serialize over the tunnel at every save, "
+                        "so long runs should save at the end only (pass "
+                        "--save_model_epochs == --epochs)")
+    p.add_argument("--save_image_epochs", type=int, default=None)
     p.add_argument("--trigger", default="BOX_14")
     p.add_argument("--target", default="HAT")
     p.add_argument("--skip_train", action="store_true",
@@ -120,7 +126,12 @@ def main() -> None:
                  "(R_trigger_only latent analogue)")
 
     if not args.skip_train:
-        cli.main([
+        extra = []
+        if args.save_model_epochs is not None:
+            extra += ["--save_model_epochs", str(args.save_model_epochs)]
+        if args.save_image_epochs is not None:
+            extra += ["--save_image_epochs", str(args.save_image_epochs)]
+        cli.main(extra + [
             "--mode", "train+measure", "--dataset", "CELEBA-HQ-LATENT",
             "--ckpt", F.LDM_256_DEFAULT, "--sde_type", "SDE-LDM",
             "--sched", "UNIPC-SCHED", "--infer_steps", str(args.infer_steps),
