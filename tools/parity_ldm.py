@@ -125,24 +125,51 @@ def main() -> None:
         Log.info("trigger-set latents overwritten with encode(trigger) "
                  "(R_trigger_only latent analogue)")
 
+    def _existing_run_with_ckpt():
+        """The matching res_ dir, if a resumable checkpoint exists in it
+        (tools/tpu_guard.py re-runs this driver after killing a hung child;
+        training must continue from the checkpoint, not restart)."""
+        if not os.path.isdir(args.result):
+            return None
+        want = (f"_ep{args.epochs}_", f"_{args.solver_type}_",
+                f"_p{args.poison_rate}_", f"_{args.trigger}-{args.target}_")
+        for d in os.listdir(args.result):
+            full = os.path.join(args.result, d)
+            if (d.startswith("res_") and all(w in d for w in want)
+                    and os.path.isdir(os.path.join(full, "ckpt"))
+                    and os.listdir(os.path.join(full, "ckpt"))):
+                return full
+        return None
+
     if not args.skip_train:
         extra = []
         if args.save_model_epochs is not None:
             extra += ["--save_model_epochs", str(args.save_model_epochs)]
         if args.save_image_epochs is not None:
             extra += ["--save_image_epochs", str(args.save_image_epochs)]
-        cli.main(extra + [
-            "--mode", "train+measure", "--dataset", "CELEBA-HQ-LATENT",
-            "--ckpt", F.LDM_256_DEFAULT, "--sde_type", "SDE-LDM",
-            "--sched", "UNIPC-SCHED", "--infer_steps", str(args.infer_steps),
-            "--trigger", args.trigger, "--target", args.target,
-            "--poison_rate", str(args.poison_rate),
-            "--solver_type", args.solver_type,
-            "--epoch", str(args.epochs), "--batch", str(args.batch),
-            "--eval_max_batch", str(args.eval_max_batch),
+        resumable = _existing_run_with_ckpt()
+        if resumable:
+            Log.info(f"resuming interrupted training: {resumable}")
+            cli.main(["--mode", "resume", "--ckpt", resumable])
+        else:
+            cli.main(extra + [
+                "--mode", "train", "--dataset", "CELEBA-HQ-LATENT",
+                "--ckpt", F.LDM_256_DEFAULT, "--sde_type", "SDE-LDM",
+                "--sched", "UNIPC-SCHED", "--infer_steps", str(args.infer_steps),
+                "--trigger", args.trigger, "--target", args.target,
+                "--poison_rate", str(args.poison_rate),
+                "--solver_type", args.solver_type,
+                "--epoch", str(args.epochs), "--batch", str(args.batch),
+                "--eval_max_batch", str(args.eval_max_batch),
+                "--measure_sample_n", str(args.measure_sample_n),
+                "--eval_sample_n", "8",
+                "--result", args.result, "--overwrite",
+            ])
+        measured = _existing_run_with_ckpt() or resumable
+        cli.main([
+            "--mode", "measure", "--ckpt", measured,
             "--measure_sample_n", str(args.measure_sample_n),
-            "--eval_sample_n", "8",
-            "--result", args.result, "--overwrite",
+            "--eval_max_batch", str(args.eval_max_batch),
         ])
 
     # Run-dir names encode hyperparams, so reruns with different --epochs /

@@ -61,6 +61,16 @@ def main() -> None:
     ]
 
     timing = {}
+    # retry-friendliness for tools/tpu_guard.py: the export is written at
+    # training end (save_model_epochs == epochs below), so its presence
+    # means training completed and a guard re-run should go straight to the
+    # measure phases (which resume from their PNG caches)
+    done = [d for d in (os.listdir(out) if os.path.isdir(out) else [])
+            if d.startswith("res_") and f"_ep{args.epochs}_" in d
+            and os.path.exists(os.path.join(out, d, "unet", "params.msgpack"))]
+    if done and not args.skip_train:
+        log(f"found completed training export in {done[0]}; skipping train")
+        args.skip_train = True
     if not args.skip_train:
         t0 = time.time()
         cli.main(["--mode", "train", "--epoch", str(args.epochs),
