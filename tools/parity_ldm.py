@@ -126,19 +126,28 @@ def main() -> None:
                  "(R_trigger_only latent analogue)")
 
     def _existing_run_with_ckpt():
-        """The matching res_ dir, if a resumable checkpoint exists in it
+        """The matching res_ dir, if a FINALIZED orbax step exists in it
         (tools/tpu_guard.py re-runs this driver after killing a hung child;
-        training must continue from the checkpoint, not restart)."""
+        training must continue from the checkpoint, not restart). A ckpt/
+        holding only ``*.orbax-checkpoint-tmp`` wreckage from a mid-save
+        kill is NOT resumable — r4's first attempt died exactly there and
+        four retries then crashed on the truncated export."""
+        from villandiffusion_tpu.io.checkpoint import finalized_orbax_steps
+
         if not os.path.isdir(args.result):
             return None
         want = (f"_ep{args.epochs}_", f"_{args.solver_type}_",
                 f"_p{args.poison_rate}_", f"_{args.trigger}-{args.target}_")
         for d in os.listdir(args.result):
             full = os.path.join(args.result, d)
-            if (d.startswith("res_") and all(w in d for w in want)
-                    and os.path.isdir(os.path.join(full, "ckpt"))
-                    and os.listdir(os.path.join(full, "ckpt"))):
-                return full
+            if (d.startswith("res_") and all(w in d for w in want)):
+                if finalized_orbax_steps(os.path.join(full, "ckpt")):
+                    return full
+                # unresumable wreckage: clear it so --overwrite restarts clean
+                Log.warning(f"clearing unresumable run dir {full}")
+                import shutil
+
+                shutil.rmtree(full)
         return None
 
     if not args.skip_train:

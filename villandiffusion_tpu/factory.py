@@ -267,16 +267,56 @@ def get_model_sched(
     )
 
 
+def _recover_from_orbax(run_dir: str, msgpack_path: str, err):
+    """(config, params) from unet/config.json + the newest finalized orbax
+    step, or None if either half is missing."""
+    import json as _json
+
+    from villandiffusion_tpu.io.checkpoint import restore_params_raw
+    from villandiffusion_tpu.models.unet2d import UNet2DConfig
+    from villandiffusion_tpu.utils.log import Log
+
+    cfg_path = os.path.join(run_dir, "unet", "config.json")
+    if not os.path.exists(cfg_path):
+        return None
+    params = restore_params_raw(os.path.join(run_dir, "ckpt"))
+    if params is None:
+        return None
+    Log.warning(
+        f"unet export {msgpack_path} is corrupt ({err}); recovered params "
+        "from the run's newest finalized orbax step"
+    )
+    with open(cfg_path) as f:
+        cfg_dict = _json.load(f)
+    for key in ("block_out_channels", "down_block_types", "up_block_types"):
+        cfg_dict[key] = tuple(cfg_dict[key])
+    return UNet2DConfig(**cfg_dict), params
+
+
 def _load_params_any(ckpt: str):
     """Resolve a non-DEFAULT checkpoint string to (config, params)."""
     from villandiffusion_tpu.io.checkpoint import load_model_dir
     from villandiffusion_tpu.models.convert import load_unet_checkpoint
 
     # 1) a framework run dir / export
-    if os.path.isdir(os.path.join(ckpt, "unet")) and os.path.exists(
-        os.path.join(ckpt, "unet", "params.msgpack")
-    ):
-        return load_model_dir(ckpt)
+    msgpack_path = os.path.join(ckpt, "unet", "params.msgpack")
+    if os.path.isdir(os.path.join(ckpt, "unet")) and os.path.exists(msgpack_path):
+        try:
+            if os.path.getsize(msgpack_path) == 0:
+                raise ValueError("0 bytes (interrupted export)")
+            return load_model_dir(ckpt)
+        except ValueError as e:
+            # A kill mid-save can truncate the export; the orbax state in
+            # <run>/ckpt is written atomically, so recover params from its
+            # newest finalized step instead of failing every later resume.
+            recovered = _recover_from_orbax(ckpt, msgpack_path, e)
+            if recovered is not None:
+                return recovered
+            raise FileNotFoundError(
+                f"unet export {msgpack_path!r} is corrupt ({e}) and no "
+                f"finalized orbax step exists under {ckpt!r}/ckpt — the run "
+                "must be retrained (delete the run dir first)."
+            ) from e
     # 2) local diffusers layout (converted torch)
     cand = _pretrained_dir(ckpt)
     unet_dir = os.path.join(cand, "unet")

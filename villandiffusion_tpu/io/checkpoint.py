@@ -70,17 +70,64 @@ class CheckpointManager:
 # ---------------------------------------------------------------------------
 
 
+def _atomic_write(path: str, data: bytes) -> None:
+    """Write-then-rename so a kill mid-write never leaves a truncated file
+    at the published path (r4 postmortem: a watchdog killing a wedged
+    device->host transfer left a 0-byte params.msgpack that poisoned every
+    subsequent resume attempt)."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
 def save_model_dir(out_dir: str, config, params) -> None:
-    """Write <out_dir>/unet/{config.json, params.msgpack}."""
+    """Write <out_dir>/unet/{config.json, params.msgpack} (atomically)."""
     from flax import serialization
 
     unet_dir = os.path.join(out_dir, "unet")
     os.makedirs(unet_dir, exist_ok=True)
-    with open(os.path.join(unet_dir, "config.json"), "w") as f:
-        json.dump(dataclasses.asdict(config), f, indent=2)
+    _atomic_write(
+        os.path.join(unet_dir, "config.json"),
+        json.dumps(dataclasses.asdict(config), indent=2).encode(),
+    )
     params_host = jax.tree.map(np.asarray, params)
-    with open(os.path.join(unet_dir, "params.msgpack"), "wb") as f:
-        f.write(serialization.to_bytes(params_host))
+    _atomic_write(
+        os.path.join(unet_dir, "params.msgpack"),
+        serialization.to_bytes(params_host),
+    )
+
+
+def finalized_orbax_steps(ckpt_dir: str):
+    """Step numbers with a COMPLETED orbax save under ckpt_dir (orbax writes
+    into ``<step>.orbax-checkpoint-tmp...`` and renames on finalize, so a
+    digit-named dir is the commit marker; tmp dirs are in-flight/killed
+    saves and must not count as resumable)."""
+    if not os.path.isdir(ckpt_dir):
+        return []
+    return sorted(
+        int(d)
+        for d in os.listdir(ckpt_dir)
+        if d.isdigit() and os.path.isdir(os.path.join(ckpt_dir, d))
+    )
+
+
+def restore_params_raw(ckpt_dir: str):
+    """Template-less restore of the params subtree from the newest finalized
+    step, or None. Recovery path for a run dir whose unet export was
+    truncated by a mid-save kill but whose orbax state is intact."""
+    steps = finalized_orbax_steps(ckpt_dir)
+    if not steps:
+        return None
+    state_dir = os.path.join(os.path.abspath(ckpt_dir), str(steps[-1]), "state")
+    if not os.path.isdir(state_dir):
+        return None
+    restored = ocp.StandardCheckpointer().restore(state_dir)
+    if isinstance(restored, dict) and "params" in restored:
+        return restored["params"]
+    return None
 
 
 def load_model_dir(out_dir: str):
