@@ -54,6 +54,9 @@ def main() -> None:
     ap.add_argument("--num_fake", type=int, default=64)
     ap.add_argument("--n_eval", type=int, default=16)
     ap.add_argument("--infer_steps", type=int, default=25)
+    ap.add_argument("--implant_poison_rate", type=float, default=0.5,
+                    help="stage-B poison rate; the r4 12k run at 0.5 was "
+                         "directional-only, so stronger variants raise it")
     args = ap.parse_args()
 
     import jax
@@ -82,12 +85,14 @@ def main() -> None:
     # implant runs at different budgets land in sibling dirs (the first run
     # used the bare name "implant"; keep that for the default config)
     default_cfg = (args.implant_steps == 3000 and args.implant_lr is None
-                   and args.lora_r == 4)
+                   and args.lora_r == 4 and args.implant_poison_rate == 0.5)
+    pr_tag = ("" if args.implant_poison_rate == 0.5
+              else f"_pr{args.implant_poison_rate:g}")
     imp_dir = os.path.join(
         args.out,
         "implant" if default_cfg else
         f"implant_s{args.implant_steps}_lr{args.implant_lr or args.lr:g}"
-        f"_r{args.lora_r}",
+        f"_r{args.lora_r}{pr_tag}",
     )
 
     # ---- stage A: clean pretrain ------------------------------------------
@@ -145,7 +150,7 @@ def main() -> None:
             "--unet_init_from", pre_dir,
             "--caption_trigger", "TRIGGER_SKS",
             "--target", "CORNER",
-            "--poison_rate", "0.5",
+            "--poison_rate", str(args.implant_poison_rate),
             "--learning_rate", str(args.implant_lr or args.lr),
             "--lr_warmup_steps", "100",
             "--max_train_steps", str(args.implant_steps),
@@ -185,7 +190,8 @@ def main() -> None:
         "protocol": (
             f"MID stack, stage-A full-finetune {args.pretrain_steps} steps "
             f"clean, stage-B LoRA-r{args.lora_r}-ONLY {args.implant_steps} "
-            f"steps lr {args.implant_lr or args.lr:g}, TRIGGER_SKS->CORNER pr0.5"
+            f"steps lr {args.implant_lr or args.lr:g}, TRIGGER_SKS->CORNER "
+            f"pr{args.implant_poison_rate:g}"
         ),
     })
     # latest at out/score.json; per-config copy next to the implant weights
