@@ -467,8 +467,24 @@ def train_loop(
     step_fn = trainer.make_step()
 
     def save_everything(epoch: int) -> None:
-        ckpt_mgr.save(int(state.step), state, extra={"epoch": epoch})
-        save_model_dir(config.output_dir, bundle.model.config, state.params)
+        # Fetch the whole state to host FIRST, on this thread, then hand orbax
+        # numpy arrays and block until the save lands.  The async default
+        # (orbax background thread pulling ~3.3 GB device->host while the main
+        # thread starts the unet export's own transfer) deadlocked the
+        # single-stream tunnel DETERMINISTICALLY at the first periodic save —
+        # two 40-epoch LDM attempts hung at the same step.  Serial-and-hosted
+        # costs ~1-2 min per save at the link's ~44 MB/s but cannot wedge;
+        # the stage logs keep the log-silence watchdog (tools/tpu_guard.py)
+        # from killing a healthy long save.
+        step_now = int(state.step)
+        Log.info(f"checkpoint: fetching state to host (step {step_now})")
+        host_state = jax.tree.map(np.asarray, state)
+        Log.info("checkpoint: orbax save start")
+        ckpt_mgr.save(step_now, host_state, extra={"epoch": epoch})
+        ckpt_mgr.wait()
+        Log.info("checkpoint: orbax save done; writing unet export")
+        save_model_dir(config.output_dir, bundle.model.config, host_state.params)
+        Log.info("checkpoint: unet export done")
         if bundle.vae is not None and not os.path.exists(
             os.path.join(config.output_dir, "vqvae", "params.msgpack")
         ):
@@ -482,7 +498,7 @@ def train_loop(
             save_vae_dir(config.output_dir, bundle.vae)
         if config.is_save_all_model_epochs:
             ep_dir = os.path.join(config.output_dir, config.ep_model_dir, f"ep{epoch}")
-            save_model_dir(ep_dir, bundle.model.config, state.params)
+            save_model_dir(ep_dir, bundle.model.config, host_state.params)
 
     def do_sampling(tag) -> None:
         pipe = bundle.make_pipeline(

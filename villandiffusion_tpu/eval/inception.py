@@ -43,6 +43,11 @@ class ConvBN(nn.Module):
             padding=self.padding,
             use_bias=False,
             param_dtype=jnp.float32,
+            # f32 multiplies: TPU conv default is bf16 on the MXU, but FID is
+            # the eval *protocol* (the reference runs fp32 torch,
+            # /root/reference/fid_score.py:91-147) and inception cost is
+            # negligible next to generating the 10k samples it scores.
+            precision=jax.lax.Precision.HIGHEST,
             name="conv",
         )(x)
         scale = self.param("bn_scale", nn.initializers.ones, (self.features,))

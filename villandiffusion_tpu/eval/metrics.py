@@ -52,6 +52,11 @@ def _ssim(a, b, data_range: float = 1.0, size: int = 11, sigma: float = 1.5):
     kern4 = jnp.tile(kern[:, :, None, None], (1, 1, 1, C))  # HWIO depthwise
 
     def filt(x):
+        # precision=HIGHEST: on TPU the default conv precision is bf16
+        # multiplies, and the variance terms below (filt(a*a) - mu^2) cancel
+        # catastrophically at bf16 — denominators can go negative and SSIM
+        # escapes [-1, 1] (observed: SSIM 1.75 on a diverged-model measure).
+        # The 11x11 depthwise filter is negligible eval cost at f32.
         return jax.lax.conv_general_dilated(
             x.astype(jnp.float32),
             kern4,
@@ -59,6 +64,7 @@ def _ssim(a, b, data_range: float = 1.0, size: int = 11, sigma: float = 1.5):
             padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=C,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     mu_a, mu_b = filt(a), filt(b)
