@@ -143,6 +143,12 @@ def main() -> None:
             if (d.startswith("res_") and all(w in d for w in want)):
                 if finalized_orbax_steps(os.path.join(full, "ckpt")):
                     return full
+                # A finished run may have pruned its ckpt/ steps but still
+                # hold a valid unet export — that is a COMPLETED run, not
+                # wreckage; leave it for the measure step below.
+                unet_params = os.path.join(full, "unet", "params.msgpack")
+                if os.path.exists(unet_params) and os.path.getsize(unet_params) > 0:
+                    return full
                 # unresumable wreckage: clear it so --overwrite restarts clean
                 Log.warning(f"clearing unresumable run dir {full}")
                 import shutil
@@ -175,6 +181,14 @@ def main() -> None:
                 "--result", args.result, "--overwrite",
             ])
         measured = _existing_run_with_ckpt() or resumable
+        if measured is None:
+            raise SystemExit(
+                "training finished but no res_ dir matching "
+                f"ep{args.epochs}/{args.solver_type}/p{args.poison_rate}/"
+                f"{args.trigger}-{args.target} with a finalized checkpoint or "
+                f"unet export exists under {args.result} — check the run-dir "
+                "naming (the want-substring filter) and the train logs"
+            )
         cli.main([
             "--mode", "measure", "--ckpt", measured,
             "--measure_sample_n", str(args.measure_sample_n),

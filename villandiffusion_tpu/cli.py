@@ -485,8 +485,9 @@ def train_loop(
         Log.info("checkpoint: orbax save done; writing unet export")
         save_model_dir(config.output_dir, bundle.model.config, host_state.params)
         Log.info("checkpoint: unet export done")
-        if bundle.vae is not None and not os.path.exists(
-            os.path.join(config.output_dir, "vqvae", "params.msgpack")
+        vq_params_path = os.path.join(config.output_dir, "vqvae", "params.msgpack")
+        if bundle.vae is not None and not (
+            os.path.exists(vq_params_path) and os.path.getsize(vq_params_path) > 0
         ):
             # the reference persists the LDM vqvae/ next to unet/
             # (pipeline.save_pretrained, VillanDiffusion.py:1109) — without

@@ -216,13 +216,18 @@ def setup(argv: Optional[List[str]] = None) -> TrainingConfig:
     args = build_parser().parse_args(argv)
     config = TrainingConfig()
 
-    # Seed --ve_sigma_max from the env at TRAIN time only, so the effective
-    # ladder lands in args.json; measure/resume read it back from args.json
-    # (a stale env var must not override the run's persisted ladder).
+    # Resolve --ve_sigma_max to a CONCRETE value at TRAIN time (env override,
+    # else the 380.0 schedule default), so the effective ladder always lands
+    # in args.json; measure/resume read it back from args.json.  Persisting
+    # None would leave default-ladder runs exposed to a stale
+    # $VILLAN_VE_SIGMA_MAX at measure time (make_schedule reads the env when
+    # no explicit sigma_max is passed) — the mirrored version of the silent
+    # re-measure bug this block exists to prevent.
     if (args.mode in (MODE_TRAIN, MODE_TRAIN_MEASURE)
-            and args.ve_sigma_max is None
-            and os.environ.get("VILLAN_VE_SIGMA_MAX")):
-        args.ve_sigma_max = float(os.environ["VILLAN_VE_SIGMA_MAX"])
+            and args.sde_type == "SDE-VE"
+            and args.ve_sigma_max is None):
+        args.ve_sigma_max = float(
+            os.environ.get("VILLAN_VE_SIGMA_MAX") or 380.0)
 
     if args.mode in (MODE_RESUME, MODE_SAMPLING, MODE_MEASURE):
         with open(os.path.join(args.ckpt, ARGS_FILE)) as f:

@@ -264,6 +264,8 @@ def save_vae_dir(out_dir: str, bundle: VAEBundle) -> None:
 
     from flax import serialization
 
+    from villandiffusion_tpu.io.checkpoint import _atomic_write
+
     vq_dir = os.path.join(out_dir, "vqvae")
     os.makedirs(vq_dir, exist_ok=True)
     model = bundle.model
@@ -274,11 +276,14 @@ def save_vae_dir(out_dir: str, bundle: VAEBundle) -> None:
         if hasattr(model, field):
             val = getattr(model, field)
             cfg[field] = list(val) if isinstance(val, tuple) else val
-    with open(os.path.join(vq_dir, "config.json"), "w") as f:
-        json.dump(cfg, f, indent=2)
+    _atomic_write(os.path.join(vq_dir, "config.json"),
+                  json.dumps(cfg, indent=2).encode())
     params_host = jax.tree.map(np.asarray, bundle.params)
-    with open(os.path.join(vq_dir, "params.msgpack"), "wb") as f:
-        f.write(serialization.to_bytes(params_host))
+    # tmp+fsync+rename: a watchdog kill mid-write must never leave a
+    # truncated params.msgpack that cli.save_everything's exists-check then
+    # skips forever (the VAE has no orbax recovery path, unlike the unet).
+    _atomic_write(os.path.join(vq_dir, "params.msgpack"),
+                  serialization.to_bytes(params_host))
 
 
 def load_vae_dir(vq_dir: str) -> VAEBundle:

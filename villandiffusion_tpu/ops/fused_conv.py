@@ -231,6 +231,13 @@ def _pallas_shape_supported(B, H, W, C, Cout, groups) -> bool:
         and C % 128 == 0            # lane dim of x/y1 reshapes
         and Cout % 128 == 0         # lane dim of h/acc/out reshapes
         and (H * W) % 8 == 0        # sublane dim of (bB, hw, C) views
+        # VMEM feasibility: even at batch-block 1 the per-row working set
+        # (_resblock_batch_block's footprint formula) must fit the ~12 MB
+        # budget — e.g. the 256px model's first-block resblocks
+        # (H=W=256, C=Cout=128) pass every divisibility check but need
+        # ~218 MB and would fail at Mosaic compile time, where no fallback
+        # can run because dispatch already committed under an outer jit.
+        and H * W * (C + Cout) * 13 <= 12 * 2**20
     )
 
 
