@@ -52,6 +52,10 @@ import threading
 import time
 
 REF_IMGS_PER_SEC = 27.7  # reference fp32-V100 roofline ceiling (see module docstring)
+# Same roofline at the reference's recommended 20-step fast protocol
+# (README.md:60: DPM-Solver++/UniPC/DEIS at 20 steps): 0.566 * 20/50 =
+# 0.2264 TFLOPs/image -> 15.7 / 0.2264 = 69.3 imgs/s ceiling.
+REF_IMGS_PER_SEC_20STEP = 69.3
 FIRST_BATCH = 256  # small first batch: cut the window to the first recordable number
 BATCH = 512  # headline batch (best measured rate)
 STEPS = 50
@@ -62,6 +66,10 @@ RESERVE_S = float(os.environ.get("VILLAN_BENCH_RESERVE", "90"))
 _T_START = time.monotonic()
 _RESULT_LOCK = threading.Lock()
 _BEST = {"value": None, "final": False}
+# Secondary (multistep-family) measurement: UniPC-20 at the headline batch.
+# Filled in only if the headline protocol leaves budget; carried inside the
+# SAME single JSON line so the driver's parse never splits on it.
+_SECONDARY = {"value": None}
 
 
 def _stage(msg: str) -> None:
@@ -73,19 +81,24 @@ def _remaining() -> float:
 
 
 def _emit(value: float) -> None:
-    print(
-        json.dumps(
-            {
-                "metric": "ddim50_cifar10_sampling_throughput",
-                "value": round(value, 2),
-                "unit": "imgs/sec/chip",
-                "vs_baseline": round(value / REF_IMGS_PER_SEC, 3),
-                "baseline_kind": "fp32-V100-roofline-ceiling",
-                "baseline_imgs_per_sec": REF_IMGS_PER_SEC,
-            }
-        ),
-        flush=True,
-    )
+    record = {
+        "metric": "ddim50_cifar10_sampling_throughput",
+        "value": round(value, 2),
+        "unit": "imgs/sec/chip",
+        "vs_baseline": round(value / REF_IMGS_PER_SEC, 3),
+        "baseline_kind": "fp32-V100-roofline-ceiling",
+        "baseline_imgs_per_sec": REF_IMGS_PER_SEC,
+    }
+    if _SECONDARY["value"] is not None:
+        v2 = _SECONDARY["value"]
+        record["secondary"] = {
+            "metric": "unipc20_cifar10_sampling_throughput",
+            "value": round(v2, 2),
+            "unit": "imgs/sec/chip",
+            "vs_baseline": round(v2 / REF_IMGS_PER_SEC_20STEP, 3),
+            "baseline_imgs_per_sec": REF_IMGS_PER_SEC_20STEP,
+        }
+    print(json.dumps(record), flush=True)
 
 
 def _record(value: float, final: bool = False) -> None:
@@ -201,24 +214,25 @@ def main() -> None:
         channels=3,
     )
 
-    def measure(batch: int, n_rep: int, warm: bool) -> float:
+    def measure(batch: int, n_rep: int, warm: bool, use_pipe=None, steps: int = STEPS) -> float:
         """Warmup-compile then measure steady-state imgs/s at ``batch``.
 
         Dispatch every batch (async), fetch as each completes — exactly how
         the measure loop consumes the pipeline (host PNG IO hidden behind the
         next batch's denoise scan).  Record a running rate after every
         fetched batch so the watchdog always has the latest number."""
+        this_pipe = pipe if use_pipe is None else use_pipe
         if warm:
-            _stage(f"compile start (batch {batch}, {STEPS} steps)")
-            pipe(
-                batch_size=batch, num_inference_steps=STEPS,
+            _stage(f"compile start (batch {batch}, {steps} steps)")
+            this_pipe(
+                batch_size=batch, num_inference_steps=steps,
                 rng=jax.random.PRNGKey(0), output_type="uint8",
             )
             _stage(f"compile done (batch {batch})")
         t0 = time.perf_counter()
         pending = [
-            pipe(
-                batch_size=batch, num_inference_steps=STEPS,
+            this_pipe(
+                batch_size=batch, num_inference_steps=steps,
                 rng=jax.random.PRNGKey(i), output_type="uint8", host=False,
             ).images
             for i in range(n_rep)
@@ -227,8 +241,9 @@ def main() -> None:
         for i, p in enumerate(pending):
             np.asarray(p)
             rate = batch * (i + 1) / (time.perf_counter() - t0)
-            _record(rate)
-        _stage(f"measured {rate:.2f} imgs/s at batch {batch} x{n_rep}")
+            if use_pipe is None:
+                _record(rate)
+        _stage(f"measured {rate:.2f} imgs/s at batch {batch} x{n_rep} ({steps} steps)")
         return rate
 
     # First number fast: a single steady-state batch at FIRST_BATCH makes the
@@ -241,6 +256,28 @@ def main() -> None:
         measure(BATCH, N_REP, warm=True)
     else:
         _stage("skipping batch-512 protocol: inside deadline margin")
+
+    # Secondary metric: the reference's recommended FAST protocol is the
+    # 20-step multistep family (/root/reference/README.md:60); UniPC-20 at
+    # the headline batch harness-verifies the 507-513 imgs/s sweep numbers
+    # (tools/bench_samplers.py).  Runs only if the headline is already safe.
+    if _remaining() > 60.0:
+        from villandiffusion_tpu.samplers.multistep import UniPCSampler
+
+        unipc_pipe = DiffusionPipeline(
+            apply_fn=apply_fn,
+            params=params,
+            sampler=UniPCSampler(schedule=S.VPSchedule.create()),
+            sample_size=32,
+            channels=3,
+        )
+        try:
+            _SECONDARY["value"] = measure(
+                BATCH, N_REP, warm=True, use_pipe=unipc_pipe, steps=20)
+        except Exception as e:  # noqa: BLE001 — never risk the headline
+            _stage(f"secondary (UniPC-20) measurement failed: {e!r}")
+    else:
+        _stage("skipping UniPC-20 secondary: inside deadline margin")
 
     with _RESULT_LOCK:
         if _BEST["final"]:

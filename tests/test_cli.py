@@ -117,7 +117,11 @@ class TestMeasure:
         assert any(k.startswith("MSE_DDIM-SCHED") for k in data)
         assert any(k.startswith("SSIM_DDIM-SCHED") for k in data)
         for v in scores.values():
-            assert np.isfinite(v)
+            assert np.all(np.isfinite(v))  # MSE_THRES_CI95 is an [lo, hi] pair
+        # attack-success CI + n ride alongside the point estimate
+        (ci,) = [v for k, v in scores.items() if k.startswith("MSE_THRES_CI95")]
+        (n,) = [v for k, v in scores.items() if k.startswith("MSE_THRES_N")]
+        assert 0.0 <= ci[0] <= ci[1] <= 1.0 and n > 0
 
     def test_measure_fid_control_env_records_calibration(self, run_dir, monkeypatch):
         """VILLAN_FID_CONTROL=1 adds the offline-FID regression-control scale

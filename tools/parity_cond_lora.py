@@ -81,7 +81,13 @@ def main() -> None:
         "--seed", "0",
     ]
 
-    pre_dir = os.path.join(args.out, "pretrain")
+    # Stage-A runs at different budgets land in sibling dirs; a LONGER
+    # budget CONTINUES from the longest existing shorter backbone via
+    # --unet_init_from (the r4 6000-step lora_weights.npz survives VM
+    # resets), so "buy a better backbone" costs only the delta steps.
+    base_pre = os.path.join(args.out, "pretrain")
+    pre_dir = (base_pre if args.pretrain_steps == 6000
+               else os.path.join(args.out, f"pretrain_s{args.pretrain_steps}"))
     # implant runs at different budgets land in sibling dirs (the first run
     # used the bare name "implant"; keep that for the default config)
     default_cfg = (args.implant_steps == 3000 and args.implant_lr is None
@@ -97,14 +103,25 @@ def main() -> None:
 
     # ---- stage A: clean pretrain ------------------------------------------
     if not os.path.exists(os.path.join(pre_dir, "lora_weights.npz")):
-        log(f"stage A: pretraining {args.pretrain_steps} steps (clean)")
-        CC.main(["--mode", "train"] + common + [
+        steps = args.pretrain_steps
+        init_from = []
+        if pre_dir != base_pre and os.path.exists(
+                os.path.join(base_pre, "lora_weights.npz")):
+            with open(os.path.join(base_pre, "args.json")) as f:
+                base_steps = int(json.load(f).get("max_train_steps") or 0)
+            if 0 < base_steps < args.pretrain_steps:
+                steps = args.pretrain_steps - base_steps
+                init_from = ["--unet_init_from", base_pre]
+                log(f"stage A: continuing from {base_pre} ({base_steps} "
+                    f"steps) for {steps} more")
+        log(f"stage A: pretraining {steps} steps (clean)")
+        CC.main(["--mode", "train"] + common + init_from + [
             "--poison_rate", "0.0",
             "--full_finetune",
             "--learning_rate", str(args.lr),
             "--lr_warmup_steps", "200",
-            "--max_train_steps", str(args.pretrain_steps),
-            "--checkpointing_steps", str(args.pretrain_steps),
+            "--max_train_steps", str(steps),
+            "--checkpointing_steps", str(steps),
             "--output_dir", pre_dir,
         ])
     log("stage A done")

@@ -41,6 +41,12 @@ def main() -> None:
     ap.add_argument("--ckpt", default="DDPM-256-DEFAULT",
                     help="UNET-TINY-DEFAULT for CPU smoke of the plumbing")
     ap.add_argument("--out", default=OUT)
+    ap.add_argument("--save_model_epochs", type=int, default=None,
+                    help="default: save at the end only; long runs should "
+                         "pass a divisor of --epochs so a tpu_guard kill "
+                         "resumes from the last periodic checkpoint instead "
+                         "of restarting (each 256px save costs ~1-2 min of "
+                         "host IO over the ~44 MB/s tunnel)")
     args = ap.parse_args()
 
     os.environ["VILLAN_FAKE_N"] = str(args.n_data)
@@ -71,13 +77,29 @@ def main() -> None:
     if done and not args.skip_train:
         log(f"found completed training export in {done[0]}; skipping train")
         args.skip_train = True
+    # a guard kill mid-train leaves a res_ dir with a finalized orbax step
+    # but no unet export: resume it instead of restarting the 256px run
+    resumable = None
+    if not args.skip_train:
+        from villandiffusion_tpu.io.checkpoint import finalized_orbax_steps
+
+        for d in (os.listdir(out) if os.path.isdir(out) else []):
+            if (d.startswith("res_") and f"_ep{args.epochs}_" in d
+                    and finalized_orbax_steps(os.path.join(out, d, "ckpt"))):
+                resumable = os.path.join(out, d)
+                break
     if not args.skip_train:
         t0 = time.time()
-        cli.main(["--mode", "train", "--epoch", str(args.epochs),
-                  "--eval_sample_n", "4", "--infer_steps", str(args.infer_steps),
-                  "--save_model_epochs", str(args.epochs),
-                  "--save_image_epochs", str(args.epochs)]
-                 + common + ["--overwrite"])
+        if resumable:
+            log(f"resuming interrupted training: {resumable}")
+            cli.main(["--mode", "resume", "--ckpt", resumable])
+        else:
+            cli.main(["--mode", "train", "--epoch", str(args.epochs),
+                      "--eval_sample_n", "4", "--infer_steps", str(args.infer_steps),
+                      "--save_model_epochs",
+                      str(args.save_model_epochs or args.epochs),
+                      "--save_image_epochs", str(args.epochs)]
+                     + common + ["--overwrite"])
         train_s = time.time() - t0
         # epoch-0 sampling + final sampling + compiles ride inside train_s;
         # steps/epoch = n_data/batch, optimizer updates = steps/accum

@@ -1,0 +1,154 @@
+"""Round-5 consolidated TPU task queue (VERDICT r4 ask #8).
+
+One sentinel-per-task resumable queue replacing the accumulated per-round
+`r*_queue*.sh` scripts: every round-5 evidence task is declared HERE, each
+runs under tools/tpu_guard.py (tunnel probe + log-silence watchdog +
+resumable retries), and per-task status lands machine-readably in
+sweep_logs/r5/queue_state.json as it happens — "what ran, what's pending,
+what failed" is auditable without reading BASELINE.md prose.
+
+Semantics (mirrors utils/sweep.py's sentinel discipline):
+- a task with sweep_logs/r5/<name>.done is skipped (delete the sentinel to
+  force a rerun),
+- a task failure (guard rc != 0) records the failure and CONTINUES to the
+  next task — later evidence must not die queued behind an earlier failure,
+- `--status` prints the task table without running anything,
+- `--only a,b` / `--skip c` select subsets.
+
+Usage:
+  python tools/r5_queue.py [--status] [--only t1,t2] [--skip t3]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+STATE_DIR = os.path.join(REPO, "sweep_logs", "r5")
+STATE_FILE = os.path.join(STATE_DIR, "queue_state.json")
+LOG_DIR = os.path.join(STATE_DIR, "logs")
+
+LDM_ODE_RUN = (
+    "runs/parity_ldm/res_LDM-256-DEFAULT_CELEBA-HQ-LATENT_ep40_ode_c1.0"
+    "_p0.9_epr0.0_BOX_14-HAT_psi1.0_lr0.0002_vp1.0_ve1.0")
+
+# (name, argv, stall_s, cap_s) — priority order. argv runs from REPO root.
+TASKS = [
+    # warm the bench compile cache first: de-risks the driver's BENCH_r05
+    # capture and validates the new dual-metric emit on the real chip
+    ("bench_warm", [sys.executable, "bench.py"], 300, 700),
+    # VERDICT ask #1: finish the canonical-ODE LDM implant run to scores
+    # (resume ep9->40, vqvae backfill, UniPC-20 measure, latent scoring)
+    ("ldm_finish", [sys.executable, "tools/r4_ldm_finish.py",
+                    "--run", LDM_ODE_RUN, "--measure_sample_n", "1024"],
+     900, 7200),
+    # VERDICT ask #2: CI-qualified trained-VE sweep + scaling point
+    ("ve_sweep", [sys.executable, "tools/r5_ve_sweep.py"], 900, 12600),
+    # VERDICT ask #3: LoRA-only implant on a BETTER stage-A backbone
+    ("lora_stage_a30k", [sys.executable, "tools/parity_cond_lora.py",
+                         "--pretrain_steps", "30000",
+                         "--implant_steps", "12000",
+                         "--implant_lr", "1e-3",
+                         "--implant_poison_rate", "0.9"],
+     1200, 14400),
+    # VERDICT ask #6: FAKE256 at ~25 epochs so inpaint recovery is real
+    ("fake256_25ep", [sys.executable, "tools/r4_celeba256.py",
+                      "--epochs", "25", "--save_model_epochs", "8"],
+     1200, 10800),
+    # VERDICT ask #7: close the VE chunked-dispatch gap
+    ("ve_chunk_tune", [sys.executable, "tools/r5_ve_chunk.py"], 600, 3600),
+    # last act: leave the compile cache warm for the driver's bench capture
+    ("bench_final", [sys.executable, "bench.py"], 300, 700),
+]
+
+
+def load_state() -> dict:
+    if os.path.exists(STATE_FILE):
+        with open(STATE_FILE) as f:
+            return json.load(f)
+    return {}
+
+
+def save_state(state: dict) -> None:
+    os.makedirs(STATE_DIR, exist_ok=True)
+    tmp = STATE_FILE + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f, indent=2)
+    os.replace(tmp, STATE_FILE)
+
+
+def sentinel(name: str) -> str:
+    return os.path.join(STATE_DIR, f"{name}.done")
+
+
+def print_status(state: dict) -> None:
+    print(f"{'task':<18} {'status':<10} {'rc':<4} {'runtime':<9} log")
+    for name, _argv, _stall, _cap in TASKS:
+        rec = state.get(name, {})
+        status = ("done" if os.path.exists(sentinel(name))
+                  else rec.get("status", "pending"))
+        rt = rec.get("runtime_s")
+        print(f"{name:<18} {status:<10} {str(rec.get('rc', '')):<4} "
+              f"{(f'{rt:.0f}s' if rt else ''):<9} "
+              f"{rec.get('log', '')}")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--status", action="store_true")
+    ap.add_argument("--only", default="")
+    ap.add_argument("--skip", default="")
+    args = ap.parse_args()
+
+    os.makedirs(LOG_DIR, exist_ok=True)
+    state = load_state()
+    if args.status:
+        print_status(state)
+        return 0
+
+    only = set(filter(None, args.only.split(",")))
+    skip = set(filter(None, args.skip.split(",")))
+    failures = 0
+    for name, argv, stall, cap in TASKS:
+        if only and name not in only:
+            continue
+        if name in skip:
+            continue
+        if os.path.exists(sentinel(name)):
+            print(f"[r5_queue] {name}: done sentinel exists, skipping",
+                  flush=True)
+            continue
+        log_path = os.path.join(LOG_DIR, f"{name}.log")
+        guard = [sys.executable, "tools/tpu_guard.py",
+                 "--log", log_path, "--stall", str(stall),
+                 "--cap", str(cap), "--"] + argv
+        print(f"[r5_queue] {name}: starting (stall {stall}s, cap {cap}s)",
+              flush=True)
+        state[name] = {"status": "running", "log": log_path,
+                       "started": time.time()}
+        save_state(state)
+        t0 = time.time()
+        rc = subprocess.run(guard, cwd=REPO).returncode
+        state[name] = {
+            "status": "done" if rc == 0 else "failed",
+            "rc": rc, "log": log_path,
+            "runtime_s": time.time() - t0,
+            "finished": time.time(),
+        }
+        save_state(state)
+        print(f"[r5_queue] {name}: rc={rc} ({state[name]['runtime_s']:.0f}s)",
+              flush=True)
+        if rc == 0:
+            with open(sentinel(name), "w") as f:
+                f.write(f"rc=0 at {time.time()}\n")
+        else:
+            failures += 1
+    print_status(state)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -417,10 +417,15 @@ def measure(config: C.TrainingConfig, dsl: L.DatasetLoader, pipeline) -> Dict:
     mse_thres = Metric.mse_thres_batch(backdoor_imgs, target_rep, thres=0.1)
     ssim = Metric.ssim_batch(backdoor_imgs, target_rep, max_batch_n=min(mb, 256))
 
+    ci_lo, ci_hi = Metric.wilson_ci(mse_thres, n)
     scores = {
         _score_key(config, "FID"): fid_val,
         _score_key(config, "MSE"): mse,
         _score_key(config, "MSE_THRES"): mse_thres,
+        # binomial 95% CI + n for the attack-success proportion: point
+        # estimates at a few hundred samples are +-several points of noise
+        _score_key(config, "MSE_THRES_CI95"): [round(ci_lo, 5), round(ci_hi, 5)],
+        _score_key(config, "MSE_THRES_N"): n,
         _score_key(config, "SSIM"): ssim,
     }
     if control is not None:

@@ -13,6 +13,7 @@ no PNG round-trip (the reference reloads 10k PNGs from disk to compute these,
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -88,6 +89,21 @@ class Metric:
     @staticmethod
     def mse_thres_batch(a, b, thres: float, max_batch_n: int = 1024) -> float:
         return float(_mse_thres(jnp.asarray(a), jnp.asarray(b), float(thres)))
+
+    @staticmethod
+    def wilson_ci(p_hat: float, n: int, z: float = 1.96):
+        """Wilson score 95% interval for a proportion — attack-success rates
+        at a few hundred samples carry +-several-point binomial noise (the
+        r4 VE rows 4.7% vs 2.3% at n=256 were statistically
+        indistinguishable), so MSE_THRES scores report this alongside the
+        point estimate."""
+        if n <= 0:
+            return (0.0, 1.0)
+        denom = 1.0 + z * z / n
+        center = (p_hat + z * z / (2 * n)) / denom
+        half = (z / denom) * math.sqrt(
+            p_hat * (1.0 - p_hat) / n + z * z / (4.0 * n * n))
+        return (max(0.0, center - half), min(1.0, center + half))
 
     @staticmethod
     def ssim_batch(a, b, device=None, max_batch_n: int = 1024) -> float:
