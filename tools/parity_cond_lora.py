@@ -85,6 +85,26 @@ def main() -> None:
     # budget CONTINUES from the longest existing shorter backbone via
     # --unet_init_from (the r4 6000-step lora_weights.npz survives VM
     # resets), so "buy a better backbone" costs only the delta steps.
+    def _pretrain_total(d):
+        """Cumulative stage-A steps of backbone dir ``d`` (a continued run's
+        args.json records only its delta, so the total is persisted aside)."""
+        side = os.path.join(d, "pretrain_total_steps.json")
+        if os.path.exists(side):
+            with open(side) as f:
+                return int(json.load(f)["total_steps"])
+        with open(os.path.join(d, "args.json")) as f:
+            return int(json.load(f).get("max_train_steps") or 0)
+
+    def _backbone_candidates():
+        """(total_steps, dir) for every finished stage-A backbone."""
+        out = []
+        for d in os.listdir(args.out) if os.path.isdir(args.out) else []:
+            full = os.path.join(args.out, d)
+            if (d == "pretrain" or d.startswith("pretrain_s")) and \
+                    os.path.exists(os.path.join(full, "lora_weights.npz")):
+                out.append((_pretrain_total(full), full))
+        return sorted(out)
+
     base_pre = os.path.join(args.out, "pretrain")
     pre_dir = (base_pre if args.pretrain_steps == 6000
                else os.path.join(args.out, f"pretrain_s{args.pretrain_steps}"))
@@ -105,15 +125,14 @@ def main() -> None:
     if not os.path.exists(os.path.join(pre_dir, "lora_weights.npz")):
         steps = args.pretrain_steps
         init_from = []
-        if pre_dir != base_pre and os.path.exists(
-                os.path.join(base_pre, "lora_weights.npz")):
-            with open(os.path.join(base_pre, "args.json")) as f:
-                base_steps = int(json.load(f).get("max_train_steps") or 0)
-            if 0 < base_steps < args.pretrain_steps:
-                steps = args.pretrain_steps - base_steps
-                init_from = ["--unet_init_from", base_pre]
-                log(f"stage A: continuing from {base_pre} ({base_steps} "
-                    f"steps) for {steps} more")
+        shorter = [(n, d) for n, d in _backbone_candidates()
+                   if 0 < n < args.pretrain_steps]
+        if shorter:
+            base_steps, base_dir = shorter[-1]  # longest shorter backbone
+            steps = args.pretrain_steps - base_steps
+            init_from = ["--unet_init_from", base_dir]
+            log(f"stage A: continuing from {base_dir} ({base_steps} steps) "
+                f"for {steps} more")
         log(f"stage A: pretraining {steps} steps (clean)")
         CC.main(["--mode", "train"] + common + init_from + [
             "--poison_rate", "0.0",
@@ -124,6 +143,10 @@ def main() -> None:
             "--checkpointing_steps", str(steps),
             "--output_dir", pre_dir,
         ])
+        with open(os.path.join(pre_dir, "pretrain_total_steps.json"), "w") as f:
+            json.dump({"total_steps": args.pretrain_steps,
+                       "continued_from": init_from[-1] if init_from else None},
+                      f, indent=2)
     log("stage A done")
 
     # ---- prior metric helpers ---------------------------------------------

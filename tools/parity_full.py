@@ -231,7 +231,11 @@ def audit(a) -> Dict[str, Dict]:
 def compare(scores: Dict, ref: Dict) -> Dict:
     """FID within 2% (relative), MSE within 1e-3 (absolute)."""
     out = {}
-    fid_keys = [k for k in scores if k.startswith("FID")]
+    # score-key grammar (cli._score_key): METRIC_<sched>-<steps>[_ep<n>]_<count>
+    # — FID_CONTROL_* (offline calibration) and MSE_THRES_* (attack success
+    # + its CI/N companions) are different metrics, not FID/MSE candidates
+    fid_keys = [k for k in scores if k.startswith("FID_") and
+                not k.startswith("FID_CONTROL")]
     mse_keys = [k for k in scores if k.startswith("MSE_") and
                 not k.startswith("MSE_THRES")]
     if "FID" in ref and fid_keys:
@@ -310,6 +314,7 @@ def main() -> None:
             )
         report["results"][name] = res
 
+    os.makedirs(a.out, exist_ok=True)
     with open(_p(a.out, "parity_full_report.json"), "w") as f:
         json.dump(report, f, indent=2, default=str)
     print(json.dumps(report, indent=2, default=str))
