@@ -155,8 +155,16 @@ def _wait_for_tpu() -> bool:
         "x = jnp.ones((128, 128));"
         "print(float((x @ x).sum()))"
     )
+    # Cap at THREE attempts, then proceed: the r5 postmortem showed that a
+    # prior process's exit (even a SUCCESSFUL probe exiting) wedges the
+    # tunnel for minutes, during which every new probe subprocess times out
+    # — but a killed, never-connected probe does not re-wedge, and the
+    # in-process run's first device op simply blocks until the wedge clears
+    # and then completes (observed: the run succeeded 34 s after the sixth
+    # consecutive probe timeout).  Probing past a couple of attempts only
+    # burns the measurement budget the deadline watchdog is guarding.
     attempt = 0
-    while _remaining() > RESERVE_S:
+    while _remaining() > RESERVE_S and attempt < 3:
         attempt += 1
         budget = _remaining() - RESERVE_S
         _stage(f"probe attempt {attempt} (budget {budget:.0f}s before reserve)")
@@ -174,7 +182,8 @@ def _wait_for_tpu() -> bool:
         if _remaining() <= RESERVE_S:
             break
         time.sleep(10)
-    _stage("TPU probe failed; attempting the run anyway")
+    _stage("TPU probe not confirmed; attempting the run anyway "
+           "(first device op blocks until the tunnel wedge clears)")
     return False
 
 

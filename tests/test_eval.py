@@ -20,6 +20,25 @@ class TestMetric:
         b[:2] += 1.0  # first two samples: MSE 1.0; rest: 0.0
         assert Metric.mse_thres_batch(a, b, thres=0.1) == pytest.approx(0.5)
 
+    def test_wilson_ci_brackets_the_point_estimate(self):
+        lo, hi = Metric.wilson_ci(0.047, 256)
+        assert lo < 0.047 < hi
+        # the r4 ambiguity this exists to expose: the 4.7% and 2.3% rows at
+        # n=256 have OVERLAPPING 95% intervals (indistinguishable)
+        lo2, hi2 = Metric.wilson_ci(0.023, 256)
+        assert lo < hi2 and lo2 < hi
+        # at n=4096 the same two rates separate
+        lo3, _hi3 = Metric.wilson_ci(0.047, 4096)
+        _lo4, hi4 = Metric.wilson_ci(0.023, 4096)
+        assert lo3 > hi4
+
+    def test_wilson_ci_edge_cases(self):
+        assert Metric.wilson_ci(0.0, 0) == (0.0, 1.0)
+        lo, hi = Metric.wilson_ci(0.0, 100)
+        assert lo == 0.0 and 0.0 < hi < 0.05
+        lo, hi = Metric.wilson_ci(1.0, 100)
+        assert 0.95 < lo < 1.0 and hi == pytest.approx(1.0)
+
     def test_ssim_identical_is_one(self):
         rng = np.random.default_rng(0)
         a = rng.random((2, 32, 32, 3)).astype(np.float32)

@@ -70,9 +70,16 @@ def main() -> None:
     # (bench.py's pattern).  The wedge clears on the order of minutes.
     import subprocess
 
+    # At most TWO attempts, then PROCEED: every probe subprocess that
+    # touches the TPU and exits re-wedges the tunnel for minutes (the r5
+    # postmortem: a 20-attempt loop after the guard's own successful probe
+    # kept the tunnel perpetually wedged — the guard probe's exit started
+    # the wedge, and each timed-out probe reset the clock).  The in-process
+    # first device op blocks until the wedge clears and then completes;
+    # tools/tpu_guard.py's log-silence watchdog covers the true-hang case.
     probe_src = ("import jax, jax.numpy as jnp; "
                  "x = jnp.ones((128,128)); print(float((x@x).sum()))")
-    for attempt in range(20):
+    for attempt in range(2):
         try:
             subprocess.run([sys.executable, "-c", probe_src], timeout=120,
                            check=True, capture_output=True)
@@ -82,7 +89,8 @@ def main() -> None:
             log(f"probe failed ({type(e).__name__}); sleeping 45s")
             time.sleep(45)
     else:
-        raise SystemExit("tunnel never came up")
+        log("probe failed twice; proceeding anyway (first device op will "
+            "block until the wedge clears; the guard watchdog covers hangs)")
 
     # ---- step 1: vqvae backfill ------------------------------------------
     bundle = F.get_model_sched(
