@@ -44,9 +44,9 @@ TASKS = [
     # (resume ep9->40, vqvae backfill, UniPC-20 measure, latent scoring)
     ("ldm_finish", [sys.executable, "tools/r4_ldm_finish.py",
                     "--run", LDM_ODE_RUN, "--measure_sample_n", "1024"],
-     900, 7200),
+     1080, 7200),
     # VERDICT ask #2: CI-qualified trained-VE sweep + scaling point
-    ("ve_sweep", [sys.executable, "tools/r5_ve_sweep.py"], 900, 12600),
+    ("ve_sweep", [sys.executable, "tools/r5_ve_sweep.py"], 1080, 12600),
     # VERDICT ask #3: LoRA-only implant on a BETTER stage-A backbone
     ("lora_stage_a30k", [sys.executable, "tools/parity_cond_lora.py",
                          "--pretrain_steps", "30000",
@@ -59,7 +59,7 @@ TASKS = [
                       "--epochs", "25", "--save_model_epochs", "8"],
      1200, 10800),
     # VERDICT ask #7: close the VE chunked-dispatch gap
-    ("ve_chunk_tune", [sys.executable, "tools/r5_ve_chunk.py"], 600, 3600),
+    ("ve_chunk_tune", [sys.executable, "tools/r5_ve_chunk.py"], 1080, 3600),
     # last act: leave the compile cache warm for the driver's bench capture
     ("bench_final", [sys.executable, "bench.py"], 300, 700),
 ]
