@@ -65,34 +65,16 @@ def main() -> None:
 
     setup_jax_cache()
 
-    # SUBPROCESS tunnel probe with retries: a wedged tunnel HANGS the first
-    # device op rather than raising, so the probe must be killable
-    # (bench.py's pattern).  The wedge clears on the order of minutes.
-    import subprocess
-
-    # At most TWO attempts, then PROCEED: every probe subprocess that
-    # touches the TPU and exits re-wedges the tunnel for minutes (the r5
-    # postmortem: a 20-attempt loop after the guard's own successful probe
-    # kept the tunnel perpetually wedged — the guard probe's exit started
-    # the wedge, and each timed-out probe reset the clock).  The in-process
-    # first device op blocks until the wedge clears and then completes;
-    # tools/tpu_guard.py's log-silence watchdog covers the true-hang case.
-    probe_src = ("import jax, jax.numpy as jnp; "
-                 "x = jnp.ones((128,128)); print(float((x@x).sum()))")
-    for attempt in range(2):
-        try:
-            subprocess.run([sys.executable, "-c", probe_src], timeout=120,
-                           check=True, capture_output=True)
-            log(f"probe ok (attempt {attempt})")
-            break
-        except Exception as e:  # noqa: BLE001
-            log(f"probe failed ({type(e).__name__}); sleeping 45s")
-            time.sleep(45)
-    else:
-        log("probe failed twice; proceeding anyway (first device op will "
-            "block until the wedge clears; the guard watchdog covers hangs)")
+    # NO probe subprocesses here: every probe that touches the TPU and exits
+    # re-wedges the tunnel for minutes (r5 postmortem — even a SUCCESSFUL
+    # probe's exit does), so a probe directly before real work guarantees
+    # the first device op starts into a fresh wedge.  The op below simply
+    # blocks until the wedge clears and then completes; the guard's
+    # log-silence watchdog (stall > max wedge) covers the true-hang case.
+    log("skipping probe; first device op blocks until any tunnel wedge clears")
 
     # ---- step 1: vqvae backfill ------------------------------------------
+    log("building VQ bundle (first device op; may block on a wedged tunnel)")
     bundle = F.get_model_sched(
         image_size=256, channels=3, ckpt=F.LDM_256_DEFAULT,
         sde_type="SDE-LDM", noise_sched_type="UNIPC-SCHED",

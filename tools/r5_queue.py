@@ -44,7 +44,7 @@ TASKS = [
     # (resume ep9->40, vqvae backfill, UniPC-20 measure, latent scoring)
     ("ldm_finish", [sys.executable, "tools/r4_ldm_finish.py",
                     "--run", LDM_ODE_RUN, "--measure_sample_n", "1024"],
-     1080, 7200),
+     1500, 7200),
     # VERDICT ask #2: CI-qualified trained-VE sweep + scaling point
     ("ve_sweep", [sys.executable, "tools/r5_ve_sweep.py"], 1080, 12600),
     # VERDICT ask #3: LoRA-only implant on a BETTER stage-A backbone
