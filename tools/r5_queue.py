@@ -31,29 +31,34 @@ STATE_DIR = os.path.join(REPO, "sweep_logs", "r5")
 STATE_FILE = os.path.join(STATE_DIR, "queue_state.json")
 LOG_DIR = os.path.join(STATE_DIR, "logs")
 
-LDM_ODE_RUN = (
-    "runs/parity_ldm/res_LDM-256-DEFAULT_CELEBA-HQ-LATENT_ep40_ode_c1.0"
-    "_p0.9_epr0.0_BOX_14-HAT_psi1.0_lr0.0002_vp1.0_ve1.0")
-
 # (name, argv, stall_s, cap_s) — priority order. argv runs from REPO root.
 TASKS = [
     # warm the bench compile cache first: de-risks the driver's BENCH_r05
     # capture and validates the new dual-metric emit on the real chip
     ("bench_warm", [sys.executable, "bench.py"], 300, 700),
-    # VERDICT ask #1: finish the canonical-ODE LDM implant run to scores
-    # (resume ep9->40, vqvae backfill, UniPC-20 measure, latent scoring)
-    ("ldm_finish", [sys.executable, "tools/r4_ldm_finish.py",
-                    "--run", LDM_ODE_RUN, "--measure_sample_n", "1024"],
-     1500, 7200),
+    # VERDICT ask #1: the canonical-ODE LDM implant run to scores.  The VM
+    # reset between r5 sessions wiped the ep-9 orbax checkpoint AND the
+    # latent store (only git-committed configs survived), so the resume
+    # finisher (tools/r4_ldm_finish.py) has nothing to resume — this is the
+    # FROM-SCRATCH driver: rebuild the latent store (sentinel-keyed), clear
+    # the stale config-only run dir, train 40 epochs ODE (ckpt every 8 so a
+    # guard kill resumes instead of restarting), UniPC-20 measure at 1024
+    # samples, latent_scores.json.
+    ("ldm_ode", [sys.executable, "tools/parity_ldm.py",
+                 "--epochs", "40", "--solver_type", "ode",
+                 "--measure_sample_n", "1024",
+                 "--save_model_epochs", "8",
+                 "--save_image_epochs", "40"],
+     1500, 10800),
     # VERDICT ask #2: CI-qualified trained-VE sweep + scaling point
-    ("ve_sweep", [sys.executable, "tools/r5_ve_sweep.py"], 1080, 12600),
+    ("ve_sweep", [sys.executable, "tools/r5_ve_sweep.py"], 1080, 10800),
     # VERDICT ask #3: LoRA-only implant on a BETTER stage-A backbone
     ("lora_stage_a30k", [sys.executable, "tools/parity_cond_lora.py",
                          "--pretrain_steps", "30000",
                          "--implant_steps", "12000",
                          "--implant_lr", "1e-3",
                          "--implant_poison_rate", "0.9"],
-     1200, 14400),
+     1200, 10800),
     # VERDICT ask #6: FAKE256 at ~25 epochs so inpaint recovery is real
     ("fake256_25ep", [sys.executable, "tools/r4_celeba256.py",
                       "--epochs", "25", "--save_model_epochs", "8"],
