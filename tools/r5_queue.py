@@ -34,8 +34,13 @@ LOG_DIR = os.path.join(STATE_DIR, "logs")
 # (name, argv, stall_s, cap_s) — priority order. argv runs from REPO root.
 TASKS = [
     # warm the bench compile cache first: de-risks the driver's BENCH_r05
-    # capture and validates the new dual-metric emit on the real chip
-    ("bench_warm", [sys.executable, "bench.py"], 300, 700),
+    # capture and validates the new dual-metric emit on the real chip.
+    # The VM reset wiped ~/.cache/villan_jax, so the first warm compiles
+    # everything from zero — raise bench.py's internal deadline well past
+    # the cold-compile time (the driver's own capture keeps the default
+    # 450 s and rides this run's cache entries).
+    ("bench_warm", ["env", "VILLAN_BENCH_DEADLINE=1800",
+                    sys.executable, "bench.py"], 600, 2000),
     # VERDICT ask #1: the canonical-ODE LDM implant run to scores.  The VM
     # reset between r5 sessions wiped the ep-9 orbax checkpoint AND the
     # latent store (only git-committed configs survived), so the resume
@@ -66,7 +71,8 @@ TASKS = [
     # VERDICT ask #7: close the VE chunked-dispatch gap
     ("ve_chunk_tune", [sys.executable, "tools/r5_ve_chunk.py"], 1080, 3600),
     # last act: leave the compile cache warm for the driver's bench capture
-    ("bench_final", [sys.executable, "bench.py"], 300, 700),
+    ("bench_final", ["env", "VILLAN_BENCH_DEADLINE=900",
+                     sys.executable, "bench.py"], 300, 1000),
 ]
 
 
