@@ -247,7 +247,14 @@ def _batched_generate(
         imgs = np.asarray(p[0])  # blocks only when the device batch is done
         IMG.save_images(imgs, out_dir, start_cnt=p[1])
         outs.append(imgs)
+        # liveness line per flushed batch: tools/tpu_guard.py watches the log
+        # file's mtime, and a silent multi-batch generation (r5: 2x1024 LDM
+        # samples, ~40 min incl. the cold UniPC+decode compile) reads as a
+        # hang and gets killed mid-healthy-work without this
+        Log.info(f"{out_dir}: {p[1] + len(imgs)}/{n} sampled")
 
+    Log.info(f"{out_dir}: generating {n - have} of {n} samples "
+             f"(max_batch {max_batch}; first dispatch includes compile)")
     for lo in range(0, n, max_batch):
         hi = min(lo + max_batch, n)
         # dispatch this batch BEFORE fetching/writing the previous one:

@@ -109,7 +109,13 @@ def batch_sampling_save(
         imgs = np.asarray(p[0])[: p[1]]
         IMG.save_images(imgs, out_dir, start_cnt=p[2])
         outs.append(imgs)
+        # liveness for tools/tpu_guard.py's log-mtime watchdog (see the
+        # identical note in cli._batched_generate): a silent generation of a
+        # large split reads as a hang and gets killed mid-healthy-work
+        Log.info(f"{out_dir}: {p[2] + len(imgs)}/{n} sampled")
 
+    Log.info(f"{out_dir}: generating {n - have} of {n} samples "
+             f"(max_batch {max_batch}; first dispatch includes compile)")
     for lo in range(0, n, max_batch):
         batch = list(prompts[lo : lo + max_batch])
         real = len(batch)
