@@ -30,7 +30,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 T0 = time.time()
 OUT = "runs/parity_ve_r5"
-GRID = [(sm, lr) for sm in (10.0, 25.0, 50.0) for lr in (3e-4, 1e-3)]
+# 2x2, not 3x2: sigma_max=50 is the least-promising direction (BASELINE.md
+# diagnosis: from-scratch score learning is budget-bound at LARGE sigma —
+# the r4 implant emerged at 25, and 10 tests the smaller-ladder side), and
+# the r5 wall clock must also fit the LoRA/256px/chunk evidence tasks.
+GRID = [(sm, lr) for sm in (10.0, 25.0) for lr in (3e-4, 1e-3)]
 
 
 def log(msg: str) -> None:
@@ -95,9 +99,10 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=600)
     ap.add_argument("--measure_n", type=int, default=1024)
     ap.add_argument("--n_data", type=int, default=2048)
-    ap.add_argument("--phase2_mult", type=int, default=3,
+    ap.add_argument("--phase2_mult", type=int, default=0,
                     help="epoch multiplier for the best config's scaling "
-                         "point (0 disables phase 2)")
+                         "point (0 disables phase 2 — run it explicitly "
+                         "when the round's wall clock allows)")
     args = ap.parse_args()
 
     from villandiffusion_tpu.utils.jaxruntime import setup_jax_cache
