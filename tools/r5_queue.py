@@ -75,6 +75,17 @@ TASKS = [
     ("fake256_20ep", [sys.executable, "tools/r4_celeba256.py",
                       "--epochs", "20", "--save_model_epochs", "10"],
      1200, 9000),
+    # Follow-up to the r5 finding that a 3.3x backbone + pr0.9 left the
+    # LoRA-r4 implant at the 1.44x-contrast plateau (capacity, not backbone
+    # quality, binds): one higher-capacity stage-B variant — rank 16 over
+    # q/k/v/out, double steps — on the same 20k backbone.
+    ("lora_r16", [sys.executable, "tools/parity_cond_lora.py",
+                  "--pretrain_steps", "20000",
+                  "--implant_steps", "24000",
+                  "--implant_lr", "1e-3",
+                  "--implant_poison_rate", "0.9",
+                  "--lora_r", "16"],
+     1200, 5400),
     # VERDICT ask #7 (VE chunk tuning) is DROPPED from the round-5 queue:
     # the sweep above settles the VE story decisively (99% implant), and the
     # BASELINE.md VE throughput row now headlines the tunnel-safe production

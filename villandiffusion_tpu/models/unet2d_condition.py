@@ -371,8 +371,21 @@ def split_all_params(params):
 
 
 def merge_lora_params(params, lora_flat: dict):
-    """Write a flat {path: array} LoRA dict back into a full param tree."""
+    """Write a flat {path: array} LoRA dict back into a full param tree.
+
+    Shape-mismatched entries are SKIPPED (with a warning), not written:
+    loading a full-finetune export whose LoRA matrices were rank r into a
+    model built at a different rank must inherit every backbone weight and
+    keep the new model's fresh LoRA — blind writes would poison the tree
+    with wrong-shaped leaves that only explode later at trace time.
+    """
     params = unfreeze(params) if hasattr(params, "unfreeze") else dict(params)
+
+    def get_path(tree, keys):
+        node = tree
+        for k in keys:
+            node = node[k]
+        return node
 
     def set_path(tree, keys, val):
         node = tree
@@ -383,6 +396,23 @@ def merge_lora_params(params, lora_flat: dict):
     import copy
 
     out = copy.deepcopy(jax.tree.map(lambda a: a, params))
+    skipped = []
     for path, val in lora_flat.items():
-        set_path(out, tuple(path.split("/")), val)
+        keys = tuple(path.split("/"))
+        try:
+            cur = get_path(out, keys)
+        except (KeyError, TypeError):
+            cur = None
+        if cur is not None and tuple(cur.shape) != tuple(val.shape):
+            skipped.append(path)
+            continue
+        set_path(out, keys, val)
+    if skipped:
+        from villandiffusion_tpu.utils.log import Log
+
+        Log.warning(
+            f"merge_lora_params: skipped {len(skipped)} shape-mismatched "
+            f"entries (e.g. {skipped[0]}) — cross-rank init keeps the "
+            "model's own fresh LoRA for those"
+        )
     return out
