@@ -86,6 +86,11 @@ TASKS = [
                   "--implant_poison_rate", "0.9",
                   "--lora_r", "16"],
      1200, 5400),
+    # VE scaling point (the sweep's phase 2, opt-in): the 2x2 grid configs
+    # are sentinel-done, so this runs exactly one 2x-epoch config at the
+    # best grid setting (sm10/lr1e-3, 99.0%) for the budget-frontier curve.
+    ("ve_phase2", [sys.executable, "tools/r5_ve_sweep.py",
+                   "--phase2_mult", "2"], 1080, 5400),
     # VERDICT ask #7 (VE chunk tuning) is DROPPED from the round-5 queue:
     # the sweep above settles the VE story decisively (99% implant), and the
     # BASELINE.md VE throughput row now headlines the tunnel-safe production
