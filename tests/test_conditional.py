@@ -155,6 +155,27 @@ class TestUNetCondition:
         for a, b in zip(jax.tree.leaves(merged), jax.tree.leaves(params)):
             assert np.allclose(np.asarray(a), np.asarray(b))
 
+    def test_cross_rank_merge_keeps_fresh_lora(self, tiny_cond):
+        """A full-param export saved at rank 4 initializes a rank-16 model:
+        backbone leaves transfer exactly, shape-mismatched LoRA leaves are
+        skipped so the new model keeps its own fresh LoRA (the r5
+        cross-rank backbone-init path, tools/parity_cond_lora.py --lora_r)."""
+        from villandiffusion_tpu.models.unet2d_condition import split_all_params
+
+        m4, p4 = tiny_cond
+        flat = split_all_params(p4)
+        m16 = UNet2DCondition(UNet2DConditionConfig.tiny(lora_rank=16))
+        p16 = m16.init_params(jax.random.PRNGKey(3), text_len=77)
+        merged = merge_lora_params(p16, flat)
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 4))
+        ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 77, 32))
+        y16 = m16.apply(merged, x, jnp.array([3]), ctx)
+        assert bool(jnp.isfinite(y16).all())
+        # both ranks carry zero-init lora_up (identity delta) and the
+        # backbone transferred exactly, so the functions must agree
+        y4 = m4.apply(p4, x, jnp.array([3]), ctx)
+        assert np.allclose(np.asarray(y4), np.asarray(y16), atol=1e-5)
+
 
 class TestConditionalTraining:
     @pytest.mark.slow
