@@ -79,13 +79,17 @@ TASKS = [
     # LoRA-r4 implant at the 1.44x-contrast plateau (capacity, not backbone
     # quality, binds): one higher-capacity stage-B variant — rank 16 over
     # q/k/v/out, double steps — on the same 20k backbone.
+    # 12k, not the 24k first tried: the 24k attempt hit a tunnel hang at
+    # step ~19k (true device-op block, 0.3%% CPU) and a full retry would
+    # not fit the round; 12k matches the r4/r5 rank-4 budget exactly, so
+    # the rank-16 row answers the capacity question like-for-like.
     ("lora_r16", [sys.executable, "tools/parity_cond_lora.py",
                   "--pretrain_steps", "20000",
-                  "--implant_steps", "24000",
+                  "--implant_steps", "12000",
                   "--implant_lr", "1e-3",
                   "--implant_poison_rate", "0.9",
                   "--lora_r", "16"],
-     1200, 5400),
+     1200, 4500),
     # VE scaling point (the sweep's phase 2, opt-in): the 2x2 grid configs
     # are sentinel-done, so this runs exactly one 2x-epoch config at the
     # best grid setting (sm10/lr1e-3, 99.0%) for the budget-frontier curve.
