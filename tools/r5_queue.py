@@ -93,6 +93,9 @@ TASKS = [
     # VE scaling point (the sweep's phase 2, opt-in): the 2x2 grid configs
     # are sentinel-done, so this runs exactly one 2x-epoch config at the
     # best grid setting (sm10/lr1e-3, 99.0%) for the budget-frontier curve.
+    # Left PENDING at round-5 close: its ~1 h did not fit before the
+    # driver's bench capture, and the grid already crossed the decisive
+    # threshold (99.0% with a CI excluding any floor).
     ("ve_phase2", [sys.executable, "tools/r5_ve_sweep.py",
                    "--phase2_mult", "2"], 1080, 5400),
     # VERDICT ask #7 (VE chunk tuning) is DROPPED from the round-5 queue:
